@@ -1,0 +1,149 @@
+"""Row layouts: how a global sparse operator maps onto a device mesh.
+
+Replaces the reference's distributed-operator bookkeeping (reference:
+utils/operator.c rowPos_g/colPos_g/dep_g and utils/cplm_v0/cplm_v0_matcsr.c
+GetColBlockPos/GetCommDep): a RowLayout records the partition-derived
+permutation, per-shard row ranges (equalised by padding so shard_map sees
+static shapes), and the block-column dependency sets used for halo exchange.
+
+TPU-first difference vs the reference: ranks own *equal-size padded* row
+panels (static shapes for XLA) instead of exact METIS part sizes; the padded
+tail rows carry an identity diagonal so the operator stays SPD and the
+padded solution entries are exactly zero.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import scipy.sparse as sp
+
+from prealps_tpu.core.partition import kway_partition, partition_to_perm
+
+
+@dataclass(frozen=True)
+class RowLayout:
+    """Static description of a 1-D row partition over `nshards` devices."""
+
+    n: int                     # original global size
+    n_pad: int                 # padded global size (= nshards * rows_per_shard)
+    nshards: int
+    rows_per_shard: int
+    perm: np.ndarray           # padded position -> old row index; -1 on padding (length n_pad)
+    inv_perm: np.ndarray       # old row index -> padded position (length n)
+    offsets: np.ndarray        # unpadded partition offsets within permuted order, length nshards+1
+    # deps[s] = sorted array of shards whose rows shard s needs for SpMM
+    deps: tuple = field(default=(), compare=False)
+
+    def pad_vector(self, x: np.ndarray) -> np.ndarray:
+        """Global vector/block in original ordering -> padded permuted order."""
+        return pad_to_padded(self, x)
+
+    def unpad_vector(self, xp: np.ndarray) -> np.ndarray:
+        """Inverse of pad_vector."""
+        return unpad_from_padded(self, xp)
+
+    def shard_rows(self, s: int) -> slice:
+        return slice(s * self.rows_per_shard, (s + 1) * self.rows_per_shard)
+
+
+def _padded_perm_offsets(part: np.ndarray, nshards: int):
+    """Permutation ordering rows by part, plus equalised per-shard ranges.
+
+    Rows are ordered part-by-part; each shard's panel is then padded at the
+    global tail. To keep every shard's *own* rows contiguous AND equal-sized,
+    we interleave padding rows per shard: shard s owns permuted-global rows
+    [s*rps, (s+1)*rps), the first count[s] of which are real.
+    """
+    counts = np.bincount(part, minlength=nshards)
+    rows_per_shard = int(counts.max())
+    perm_grouped, offsets = partition_to_perm(part, nshards)
+    return perm_grouped, offsets, rows_per_shard
+
+
+def build_row_layout(a: sp.spmatrix, nshards: int, refine_passes: int = 8) -> RowLayout:
+    """Partition A's rows into nshards balanced parts and build the layout."""
+    a = sp.csr_matrix(a)
+    n = a.shape[0]
+    if nshards == 1:
+        part = np.zeros(n, dtype=np.int64)
+    else:
+        part = kway_partition(a, nshards, refine_passes)
+    return layout_from_part(a, part, nshards)
+
+
+def layout_from_part(a: sp.spmatrix, part: np.ndarray, nshards: int) -> RowLayout:
+    a = sp.csr_matrix(a)
+    n = a.shape[0]
+    perm_grouped, offsets, rows_per_shard = _padded_perm_offsets(part, nshards)
+    n_pad = rows_per_shard * nshards
+
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm_grouped] = np.arange(n)
+
+    # dependency sets on the *permuted, padded* matrix: shard s depends on
+    # shard q if any column of s's rows falls in q's padded range
+    ap = a[perm_grouped][:, perm_grouped].tocsr()
+    deps = []
+    counts = np.diff(offsets)
+    for s in range(nshards):
+        rows = slice(offsets[s], offsets[s + 1])
+        cols = ap.indices[ap.indptr[rows.start]: ap.indptr[rows.stop]]
+        owners = np.searchsorted(offsets, cols, side="right") - 1
+        deps.append(tuple(sorted(set(int(o) for o in owners) - {s})))
+
+    # remap permuted index -> padded index (shard-local padding at panel tail)
+    idx_perm = np.arange(n)
+    owner = np.searchsorted(offsets, idx_perm, side="right") - 1
+    new_positions = owner * rows_per_shard + (idx_perm - offsets[owner])
+
+    # perm_pad: padded-row -> old row; -1 for padding
+    perm_pad = np.full(n_pad, -1, dtype=np.int64)
+    perm_pad[new_positions] = perm_grouped
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm_grouped] = new_positions
+
+    return RowLayout(
+        n=n,
+        n_pad=n_pad,
+        nshards=nshards,
+        rows_per_shard=rows_per_shard,
+        perm=perm_pad,
+        inv_perm=inv,
+        offsets=offsets,
+        deps=tuple(deps),
+    )
+
+
+def permute_and_pad_matrix(a: sp.spmatrix, layout: RowLayout) -> sp.csr_matrix:
+    """Return the (n_pad, n_pad) permuted matrix with identity on padded rows."""
+    a = sp.csr_matrix(a)
+    coo = a.tocoo()
+    rows = layout.inv_perm[coo.row]
+    cols = layout.inv_perm[coo.col]
+    pad_rows = np.flatnonzero(layout.perm < 0)
+    data = np.concatenate([coo.data, np.ones(pad_rows.size, dtype=coo.data.dtype)])
+    rows = np.concatenate([rows, pad_rows])
+    cols = np.concatenate([cols, pad_rows])
+    out = sp.coo_matrix((data, (rows, cols)), shape=(layout.n_pad, layout.n_pad)).tocsr()
+    out.sort_indices()
+    return out
+
+
+def real_row_mask(layout: RowLayout) -> np.ndarray:
+    """Boolean mask over padded rows: True where the row is a real dof."""
+    return layout.perm >= 0
+
+
+def pad_to_padded(layout: RowLayout, x: np.ndarray) -> np.ndarray:
+    """Global vector/block in ORIGINAL ordering -> padded permuted ordering."""
+    x = np.asarray(x)
+    out = np.zeros((layout.n_pad,) + x.shape[1:], dtype=x.dtype)
+    out[layout.inv_perm] = x
+    return out
+
+
+def unpad_from_padded(layout: RowLayout, xp: np.ndarray) -> np.ndarray:
+    """Padded permuted vector/block -> original global ordering."""
+    return np.asarray(xp)[layout.inv_perm]
