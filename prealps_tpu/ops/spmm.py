@@ -1,0 +1,128 @@
+"""SpMM kernels: A (sparse) × X (n × t dense panel).
+
+This is THE hot kernel of enlarged-Krylov methods (reference:
+utils/cplm_v0/cplm_v0_matmult_v2.c performs it with mkl_dcsrmm per block).
+TPU-native design: the enlarging factor t is the MXU batch dimension; the
+matrix lives in block-ELL so every unit of work is a dense (bm, bk) x (bk, t)
+matmul with statically known shapes.
+
+Three implementations:
+* ell_spmm        — gather-based ELL, pure XLA. Fallback / CPU path.
+* block_ell_spmm  — block-ELL via gather + einsum, pure XLA.
+* block_ell_spmm_pallas — Pallas TPU kernel: grid over row-block chunks,
+  scalar-prefetched block-column indices, X panel resident in VMEM,
+  A blocks streamed HBM→VMEM by the pallas pipeline, MXU accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from prealps_tpu.ops.formats import BlockEllMatrix, EllMatrix
+
+
+def ell_spmm(a: EllMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x with A in ELL format. x: (ncols, t) -> y: (n, t)."""
+    gathered = x[a.cols]            # (n, L, t)
+    return jnp.einsum("nl,nlt->nt", a.vals, gathered)
+
+
+def block_ell_spmm(a: BlockEllMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x with A in block-ELL, pure XLA. x: (ncols_pad, t)."""
+    nrb, s_max, bm, bk = a.blocks.shape
+    t = x.shape[1]
+    xb = x.reshape(-1, bk, t)       # (ncb, bk, t)
+    gathered = xb[a.blkcols]        # (nrb, S, bk, t)
+    y = jnp.einsum("rsmk,rskt->rmt", a.blocks, gathered,
+                   preferred_element_type=x.dtype)
+    return y.reshape(nrb * bm, t)
+
+
+def _spmm_kernel(blkcols_ref, x_ref, blocks_ref, out_ref, *, rb_per_prog, s_max, bk):
+    """Pallas kernel body: one program handles rb_per_prog row blocks.
+
+    blkcols_ref: scalar-prefetch, (nrb * s_max,) int32
+    x_ref:       (ncols_pad, t) VMEM (whole panel resident)
+    blocks_ref:  (rb_per_prog, s_max, bm, bk) VMEM (this program's chunk)
+    out_ref:     (rb_per_prog * bm, t) VMEM
+    """
+    prog = pl.program_id(0)
+    t = out_ref.shape[1]
+    bm = blocks_ref.shape[2]
+
+    for r in range(rb_per_prog):
+        rb_global = prog * rb_per_prog + r
+        acc = jnp.zeros((bm, t), dtype=jnp.float32)
+
+        def body(s, acc):
+            col = blkcols_ref[rb_global * s_max + s]
+            xblk = x_ref[pl.ds(col * bk, bk), :]
+            blk = blocks_ref[r, s, :, :]
+            return acc + jnp.dot(blk, xblk, preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, s_max, body, acc)
+        out_ref[pl.ds(r * bm, bm), :] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rb_per_prog", "interpret"))
+def block_ell_spmm_pallas(
+    a: BlockEllMatrix, x: jax.Array, rb_per_prog: int = 16, interpret: bool = False
+) -> jax.Array:
+    """Pallas TPU block-ELL SpMM. Requires x.shape[0] == a.shape[1] (padded).
+
+    The X panel is kept whole in VMEM (n_pad * t * 4 bytes — fine for the
+    problem sizes this library targets per chip); A value blocks are streamed
+    through the pallas grid pipeline chunk by chunk, so HBM traffic ≈ the
+    block-ELL payload, the speed-of-light bound for this format.
+    """
+    nrb, s_max, bm, bk = a.blocks.shape
+    n_pad = nrb * bm
+    t = x.shape[1]
+    while nrb % rb_per_prog:
+        rb_per_prog //= 2
+    rb_per_prog = max(rb_per_prog, 1)
+    grid = (nrb // rb_per_prog,)
+
+    kernel = functools.partial(
+        _spmm_kernel, rb_per_prog=rb_per_prog, s_max=s_max, bk=bk
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((a.shape[1], t), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rb_per_prog, s_max, bm, bk),
+                lambda i, s: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb_per_prog * bm, t), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    flops = 2 * nrb * s_max * bm * bk * t
+    bytes_accessed = a.blocks.size * a.blocks.dtype.itemsize + x.size * x.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, t), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(a.blkcols.reshape(-1), x, a.blocks)
+
+
+def spmm(a, x: jax.Array) -> jax.Array:
+    """Dispatch on format; dense jnp arrays fall through to a plain matmul."""
+    if isinstance(a, EllMatrix):
+        return ell_spmm(a, x)
+    if isinstance(a, BlockEllMatrix):
+        return block_ell_spmm(a, x)
+    return a @ x

@@ -8,7 +8,10 @@ compare against float64 scipy references.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env may point JAX_PLATFORMS at a real TPU (axon
+# tunnel) and a sitecustomize may import jax before this file runs, so the
+# env var alone is not enough — use config updates post-import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,7 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) >= 8, "tests need 8 virtual CPU devices"
 
 import numpy as np
 import pytest

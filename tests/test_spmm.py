@@ -1,0 +1,79 @@
+"""SpMM kernels vs scipy reference (SURVEY.md §4: kernel-level verification)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from prealps_tpu.ops.formats import csr_to_block_ell, csr_to_ell
+from prealps_tpu.ops.spmm import block_ell_spmm, block_ell_spmm_pallas, ell_spmm
+
+
+def _random_csr(rng, n, density=0.05):
+    a = sp.random(n, n, density=density, random_state=np.random.RandomState(7))
+    a = a + a.T + sp.eye(n) * 2
+    return sp.csr_matrix(a)
+
+
+@pytest.fixture(scope="module")
+def problem(rng):
+    a = _random_csr(rng, 200)
+    x = rng.standard_normal((200, 4))
+    return a, x
+
+
+class TestEll:
+    def test_matches_scipy(self, problem):
+        a, x = problem
+        ae = csr_to_ell(a)
+        y = ell_spmm(ae, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12)
+
+    def test_elasticity(self, ela_small, rng):
+        x = rng.standard_normal((ela_small.shape[0], 8))
+        ae = csr_to_ell(ela_small)
+        y = ell_spmm(ae, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), ela_small @ x, rtol=1e-10)
+
+
+class TestBlockEll:
+    @pytest.mark.parametrize("bm,bk", [(8, 128), (8, 32), (16, 64)])
+    def test_matches_scipy(self, problem, bm, bk):
+        a, x = problem
+        ab = csr_to_block_ell(a, bm=bm, bk=bk)
+        n_pad, ncols_pad = ab.shape
+        xp = np.zeros((ncols_pad, x.shape[1]))
+        xp[: x.shape[0]] = x
+        y = block_ell_spmm(ab, jnp.asarray(xp))
+        np.testing.assert_allclose(np.asarray(y)[: a.shape[0]], a @ x, rtol=1e-12)
+
+    def test_fill_ratio_reasonable_after_rcm(self, ela_small):
+        from prealps_tpu.core.partition import permute, rcm_order
+
+        p = rcm_order(ela_small)
+        ap = permute(ela_small, p)
+        ab = csr_to_block_ell(ap, bm=8, bk=128)
+        assert ab.fill_ratio < 40  # sanity: padding under control after RCM
+
+    def test_pallas_interpret(self, problem):
+        a, x = problem
+        ab = csr_to_block_ell(a, bm=8, bk=128, dtype=np.float32)
+        n_pad, ncols_pad = ab.shape
+        xp = np.zeros((ncols_pad, x.shape[1]), dtype=np.float32)
+        xp[: x.shape[0]] = x
+        y = block_ell_spmm_pallas(ab, jnp.asarray(xp), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y)[: a.shape[0]], (a @ x).astype(np.float32), rtol=2e-4, atol=1e-4
+        )
+
+    def test_pallas_elasticity_interpret(self, ela_small, rng):
+        from prealps_tpu.core.partition import permute, rcm_order
+
+        p = rcm_order(ela_small)
+        ap = permute(ela_small, p)
+        ab = csr_to_block_ell(ap, bm=8, bk=128, dtype=np.float32)
+        x = rng.standard_normal((ab.shape[1], 4)).astype(np.float32)
+        y = block_ell_spmm_pallas(ab, jnp.asarray(x), interpret=True)
+        y_ref = block_ell_spmm(ab, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=1e-4)
