@@ -1,0 +1,105 @@
+"""Block-Jacobi preconditioner: batched dense subdomain Cholesky.
+
+(reference: src/preconditioners/block_jacobi.c factors the local diagonal
+block with MKL-PARDISO sparse Cholesky and applies multi-RHS triangular
+solves.) TPU-native re-design: the diagonal block is split into nb
+equal-padded sub-blocks, each RCM-ordered and densified, factored with a
+batched Cholesky — apply is a pair of batched triangular solves, which maps
+straight onto the MXU. The number of blocks decouples from the device count
+(the reference pins 1 block per MPI rank; on TPU nb controls the
+dense-block size / preconditioner strength trade-off).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from prealps_tpu.core.partition import nsplit, rcm_order
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BlockJacobi:
+    """factors: (nb, mb, mb) lower Cholesky factors of the diagonal blocks
+    (identity-padded). gather_idx maps padded block-major positions to local
+    rows (sentinel m = zero row); inv_perm maps local rows back to their
+    padded block-major position."""
+
+    factors: jax.Array    # (nb, mb, mb)
+    gather_idx: jax.Array  # (nb*mb,) int32 in [0, m]
+    inv_perm: jax.Array   # (m,) int32 into nb*mb
+
+    def tree_flatten(self):
+        return (self.factors, self.gather_idx, self.inv_perm), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def apply(self, z: jax.Array) -> jax.Array:
+        """(m, t) -> (m, t): w = blockdiag(Aᵢᵢ)⁻¹ z via batched cho-solve."""
+        nb, mb, _ = self.factors.shape
+        t = z.shape[1]
+        z_ext = jnp.concatenate([z, jnp.zeros((1, t), z.dtype)], axis=0)
+        zb = z_ext[self.gather_idx].reshape(nb, mb, t)
+        y = jax.lax.linalg.triangular_solve(
+            self.factors, zb, left_side=True, lower=True, transpose_a=False
+        )
+        w = jax.lax.linalg.triangular_solve(
+            self.factors, y, left_side=True, lower=True, transpose_a=True
+        )
+        return w.reshape(nb * mb, t)[self.inv_perm]
+
+
+def build_block_jacobi(
+    a: sp.spmatrix,
+    nblocks: int | None = None,
+    block_size: int | None = None,
+    rcm: bool = True,
+    dtype=None,
+) -> BlockJacobi:
+    """Build from the LOCAL diagonal matrix `a` (host scipy CSR).
+
+    Splits rows into nblocks contiguous chunks (default: target ~1024-row
+    dense blocks), extracts each diagonal sub-block (densified, RCM-ordered),
+    and factors them as one batched Cholesky.
+    """
+    a = sp.csr_matrix(a)
+    m = a.shape[0]
+    if nblocks is None:
+        bs = block_size or 1024
+        nblocks = max(1, -(-m // bs))
+    offsets = nsplit(m, nblocks)
+    mb = int(np.diff(offsets).max())
+
+    dtype = dtype or a.dtype
+    blocks = np.zeros((nblocks, mb, mb), dtype=dtype)
+    gather_idx = np.full(nblocks * mb, m, dtype=np.int32)
+    inv_perm = np.empty(m, dtype=np.int32)
+    for i in range(nblocks):
+        r0, r1 = int(offsets[i]), int(offsets[i + 1])
+        sz = r1 - r0
+        sub = a[r0:r1, r0:r1]
+        if rcm and sz > 2:
+            p = rcm_order(sub)
+        else:
+            p = np.arange(sz)
+        sub = sub[p][:, p].toarray()
+        blocks[i, :sz, :sz] = sub
+        blocks[i, sz:, sz:] = np.eye(mb - sz)
+        rows = r0 + p                       # local rows in block-major order
+        pos = i * mb + np.arange(sz)        # padded positions
+        gather_idx[pos] = rows
+        inv_perm[rows] = pos
+
+    factors = np.linalg.cholesky(blocks)
+    return BlockJacobi(
+        factors=jnp.asarray(factors),
+        gather_idx=jnp.asarray(gather_idx),
+        inv_perm=jnp.asarray(inv_perm),
+    )

@@ -1,0 +1,368 @@
+"""Enlarged Conjugate Gradient (ECG) — TPU-native functional implementation.
+
+Solves SPD systems A x = b with t "enlarged" search directions per iteration
+(the communication-avoiding family of Grigori/Moufawad/Tissot implemented by
+the reference in src/solvers/ecg.c). Three variants, as in the reference
+(reference: src/solvers/ecg.h:23-27 ORTHOMIN/ORTHODIR/ORTHODIR_FUSED):
+
+* omin  — orthomin: new directions from the preconditioned residual.
+* odir  — orthodir: new directions from M⁻¹AP, A-orthogonalised against the
+          last two direction blocks.
+* odir_fused — orthodir reorganised so ALL cross-device reductions of one
+          iteration (P'R, (AV)'Z, (AP)'P, R'R — 5t² numbers) ride a single
+          psum (reference: ecg.c:556-565 single MPI_Allreduce). This is the
+          default: on TPU one fused collective per iteration is the
+          latency-optimal shape.
+
+Design differences vs the reference (TPU-first, not a port):
+* No reverse-communication state machine: the caller passes jittable
+  operator callbacks `a_apply` / `m_apply`, preserving the matrix-free
+  property; the entire solve is ONE `lax.while_loop` under jit.
+* Dynamic search-direction reduction (ADAPT_BS, reference ecg.c:444-497)
+  keeps static shapes: directions are deactivated by a prefix mask after a
+  rotation by the left singular vectors of alpha, instead of shrinking
+  arrays. Deactivated columns are zeroed; the Gram/Cholesky ops treat them
+  as identity (see ops/blockops.chol_masked).
+* Works identically single-device (axis_name=None) and inside shard_map
+  (axis_name="shards"): all reductions go through `psum`.
+
+All heavy products are (m×t)-tall-skinny GEMMs — t is the MXU batch dim.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from prealps_tpu.ops.blockops import (
+    HIGHEST,
+    chol_masked,
+    gram,
+    left_trit_solve,
+    pivoted_cholesky,
+    psum,
+    right_tri_solve,
+)
+
+
+@dataclass(frozen=True)
+class ECGOptions:
+    t: int = 8                   # enlarging factor (number of rhs splits)
+    tol: float = 1e-5            # relative residual tolerance ||R||_F/||b||
+    maxiter: int = 10000
+    variant: str = "odir_fused"  # omin | odir | odir_fused
+    adaptive: bool = False       # dynamic search-direction reduction
+    record_history: bool = True
+
+
+class ECGResult(NamedTuple):
+    x: jax.Array            # local solution rows (m,)
+    iters: jax.Array        # iteration count
+    res: jax.Array          # final ||R||_F
+    normb: jax.Array
+    bs: jax.Array           # final active block size
+    breakdown: jax.Array    # True if P'AP lost positive definiteness
+    history: jax.Array      # ||R||_F per iteration (maxiter,), padded with -1
+
+
+class _State(NamedTuple):
+    x_blk: jax.Array    # (m, t)
+    r: jax.Array        # (m, t)
+    p: jax.Array        # (m, t)
+    ap: jax.Array       # (m, t)
+    p_prev: jax.Array   # (m, t) (odir only; zeros otherwise)
+    ap_prev: jax.Array  # (m, t)
+    z: jax.Array        # (m, t)
+    mask: jax.Array     # (t,) active-direction mask (1.0 prefix)
+    it: jax.Array
+    res: jax.Array
+    breakdown: jax.Array
+    history: jax.Array
+
+
+def split_rhs(b: jax.Array, t: int, assign: Optional[jax.Array] = None) -> jax.Array:
+    """Split rhs b (m,) into an (m, t) block R₀ with disjoint row groups.
+
+    assign: optional (m,) int array giving the target column per row
+    (reference: ecg.c:201 _preAlps_ECGSplit puts rank r's rows into column
+    r % t). Default: contiguous equal split of local rows.
+    """
+    m = b.shape[0]
+    if assign is None:
+        bounds = [(m * i) // t for i in range(t + 1)]
+        assign = jnp.concatenate(
+            [jnp.full((bounds[i + 1] - bounds[i],), i, dtype=jnp.int32) for i in range(t)]
+        )
+    onehot = jax.nn.one_hot(assign, t, dtype=b.dtype)
+    return onehot * b[:, None]
+
+
+def _masked(x, mask):
+    return x * mask[None, :]
+
+
+def _rotate_reduce(alpha, p, ap, z, mask, red_tol, dtype):
+    """Adaptive search-direction reduction (reference: ecg.c:444-497).
+
+    SVD of alpha = U Σ Vᵀ; directions are rotated by U (ordering them by
+    their contribution to the update) and those with σ ≤ red_tol are
+    deactivated. Deactivated direction columns of P/AP are NOT zeroed: they
+    stay as a frozen A-orthonormal basis that later directions keep being
+    A-orthogonalised against — the static-shape analog of the reference's
+    stale-column V buffer (reference: ecg.c:494-496 kbs = t + nrhs keeps
+    dropped columns inside V for the beta projection).
+    """
+    t = alpha.shape[0]
+    alpha_m = alpha * mask[:, None]
+    u_svd, sig, _ = jnp.linalg.svd(alpha_m.astype(dtype))
+    t1 = jnp.sum((sig > red_tol).astype(jnp.int32))
+    bs = jnp.sum(mask).astype(jnp.int32)
+    do_red = (t1 > 0) & (t1 < bs)
+    new_bs = jnp.where(do_red, t1, bs)
+    new_mask = (jnp.arange(t) < new_bs).astype(alpha.dtype)
+
+    def apply_rot(args):
+        alpha, p, ap, z = args
+        a2 = jnp.einsum("ij,ik->jk", u_svd, alpha, precision=HIGHEST)
+        p2 = jnp.einsum("mt,ts->ms", p, u_svd, precision=HIGHEST)
+        ap2 = jnp.einsum("mt,ts->ms", ap, u_svd, precision=HIGHEST)
+        z2 = jnp.einsum("mt,ts->ms", z, u_svd, precision=HIGHEST)
+        return a2, p2, ap2, z2
+
+    alpha, p, ap, z = jax.lax.cond(
+        do_red, apply_rot, lambda args: args, (alpha, p, ap, z)
+    )
+    alpha = alpha * new_mask[:, None]
+    return alpha, p, ap, _masked(z, new_mask), new_mask
+
+
+def _iter_omin(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol):
+    p, ap, r, x_blk, mask = state.p, state.ap, state.r, state.x_blk, state.mask
+    dtype = p.dtype
+    # --- A-CholQR of P against AP (reference: ecg.c:307-328) ---
+    c = gram(ap, p, axis_name)
+    u = chol_masked(c, mask)
+    breakdown = jnp.any(jnp.isnan(u))
+    u = jnp.where(breakdown, jnp.eye(u.shape[0], dtype=dtype), u)
+    p = right_tri_solve(u, p)
+    ap = right_tri_solve(u, ap)
+    # --- alpha and update (ecg.c:330-339) ---
+    alpha = gram(p, r, axis_name)
+    x_blk = x_blk + jnp.einsum("mt,ts->ms", p, alpha, precision=HIGHEST)
+    r = r - jnp.einsum("mt,ts->ms", ap, alpha, precision=HIGHEST)
+    # --- stopping quantity (ecg.c:223 StoppingCriterion) ---
+    rtr = gram(r, r, axis_name)
+    res = jnp.sqrt(jnp.trace(rtr))
+    # --- new direction: Z = M⁻¹R, A-orthogonalise against P (ecg.c:345-358) ---
+    z = m_apply(r)
+    beta = gram(ap, z, axis_name)
+    p_new = z - jnp.einsum("mt,ts->ms", p, beta, precision=HIGHEST)
+    if opts.adaptive:
+        # BF-Omin: rank-revealing pivoted Cholesky of PᵀP (ecg.c:361-393).
+        # Inactive columns have zero diagonal, so they are never pivoted in
+        # and do not contribute to the revealed rank.
+        c2 = gram(p_new, p_new, axis_name)
+        u2, piv, rank = pivoted_cholesky(c2, jnp.asarray(-1.0, dtype))
+        bs = jnp.sum(mask).astype(jnp.int32)
+        t1 = jnp.minimum(rank, bs)
+        new_mask = (jnp.arange(p.shape[1]) < t1).astype(dtype)
+        # guard zero diagonals of the deactivated tail before the trisolve
+        diag_fix = (jnp.abs(jnp.diag(u2)) == 0).astype(dtype)
+        u2 = u2 + jnp.diag(diag_fix)
+        p_perm = p_new[:, piv]
+        p_new = _masked(right_tri_solve(u2, p_perm), new_mask)
+        mask = new_mask
+    p_new = _masked(p_new, mask)
+    ap_new = a_apply(p_new)
+    return state._replace(
+        x_blk=x_blk, r=r, p=p_new, ap=ap_new, z=z, mask=mask,
+        it=state.it + 1, res=res,
+        breakdown=state.breakdown | breakdown,
+        history=state.history.at[state.it].set(res) if opts.record_history else state.history,
+    )
+
+
+def _iter_odir(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol):
+    p, ap, r, x_blk, mask = state.p, state.ap, state.r, state.x_blk, state.mask
+    p_prev, ap_prev = state.p_prev, state.ap_prev
+    dtype = p.dtype
+    # --- A-CholQR (ecg.c:421-436) ---
+    c = gram(ap, p, axis_name)
+    u = chol_masked(c, mask)
+    breakdown = jnp.any(jnp.isnan(u))
+    u = jnp.where(breakdown, jnp.eye(u.shape[0], dtype=dtype), u)
+    p = right_tri_solve(u, p)
+    ap = right_tri_solve(u, ap)
+    # --- alpha (ecg.c:437-443) ---
+    alpha = gram(p, r, axis_name)
+    if opts.adaptive:
+        alpha, p, ap, _z, mask = _rotate_reduce(
+            alpha, p, ap, jnp.zeros_like(p), mask, red_tol, dtype
+        )
+    # --- update (ecg.c:500-501) ---
+    x_blk = x_blk + jnp.einsum("mt,ts->ms", p, alpha, precision=HIGHEST)
+    r = r - jnp.einsum("mt,ts->ms", ap, alpha, precision=HIGHEST)
+    rtr = gram(r, r, axis_name)
+    res = jnp.sqrt(jnp.trace(rtr))
+    # --- new direction: Z = M⁻¹AP, A-orthogonalise against V=[P, P_prev]
+    #     (ecg.c:508-527). P may carry frozen (deactivated) columns; the
+    #     beta1 projection covers them, keeping new directions A-orthogonal
+    #     to the dropped basis. ---
+    z = m_apply(ap)
+    beta1 = gram(ap, z, axis_name)
+    beta2 = gram(ap_prev, z, axis_name)
+    z = z - jnp.einsum("mt,ts->ms", p, beta1, precision=HIGHEST)
+    z = z - jnp.einsum("mt,ts->ms", p_prev, beta2, precision=HIGHEST)
+    z = _masked(z, mask)
+    p_new = z + p * (1.0 - mask)[None, :]      # active ← Z, frozen kept
+    ap_new = a_apply(p_new)
+    return state._replace(
+        x_blk=x_blk, r=r, p=p_new, ap=ap_new,
+        p_prev=_masked(p, mask), ap_prev=_masked(ap, mask), z=z, mask=mask,
+        it=state.it + 1, res=res,
+        breakdown=state.breakdown | breakdown,
+        history=state.history.at[state.it].set(res) if opts.record_history else state.history,
+    )
+
+
+def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol):
+    """One iteration with a SINGLE fused reduction (reference: ecg.c:532-658).
+
+    Entering state: P, AP=A·P (pre-orthonormalisation), Z = M⁻¹AP,
+    V = [P, P_prev], AV = [AP, AP_prev]. The Gram blocks are computed on the
+    raw P/AP and corrected through the triangular factor afterwards:
+      alphã = U⁻ᵀ (PᵀR),   betã = [U⁻ᵀ (APᵀZ) U⁻¹ ; (AP_prev)ᵀ Z U⁻¹].
+    """
+    p, ap, r, x_blk, mask = state.p, state.ap, state.r, state.x_blk, state.mask
+    p_prev, ap_prev, z = state.p_prev, state.ap_prev, state.z
+    dtype = p.dtype
+    t = p.shape[1]
+
+    # --- single fused reduction of 5 t² blocks (ecg.c:556-565) ---
+    alpha_l = jnp.einsum("mt,ms->ts", p, r, precision=HIGHEST)
+    beta1_l = jnp.einsum("mt,ms->ts", ap, z, precision=HIGHEST)
+    beta2_l = jnp.einsum("mt,ms->ts", ap_prev, z, precision=HIGHEST)
+    mu_l = jnp.einsum("mt,ms->ts", ap, p, precision=HIGHEST)
+    rtr_l = jnp.einsum("mt,ms->ts", r, r, precision=HIGHEST)
+    fused = psum(jnp.stack([alpha_l, beta1_l, beta2_l, mu_l, rtr_l]), axis_name)
+    alpha, beta1, beta2, mu, rtr = (fused[i] for i in range(5))
+
+    res = jnp.sqrt(jnp.trace(rtr))
+
+    # --- orthonormalisation through the factor (ecg.c:577-588) ---
+    u = chol_masked(mu, mask)
+    breakdown = jnp.any(jnp.isnan(u))
+    u = jnp.where(breakdown, jnp.eye(t, dtype=dtype), u)
+    p = right_tri_solve(u, p)
+    ap = right_tri_solve(u, ap)
+    z = right_tri_solve(u, z)
+    alpha = left_trit_solve(u, alpha) * mask[:, None]
+    beta1 = left_trit_solve(u, right_tri_solve(u, beta1))
+    beta2 = right_tri_solve(u, beta2)
+
+    # --- Z -= V beta (ecg.c:590-591) ---
+    z = z - jnp.einsum("mt,ts->ms", p, beta1, precision=HIGHEST)
+    z = z - jnp.einsum("mt,ts->ms", p_prev, beta2, precision=HIGHEST)
+
+    if opts.adaptive:
+        alpha, p, ap, z, mask = _rotate_reduce(alpha, p, ap, z, mask, red_tol, dtype)
+
+    # --- X, R update (ecg.c:644-645) ---
+    x_blk = x_blk + jnp.einsum("mt,ts->ms", p, alpha, precision=HIGHEST)
+    r = r - jnp.einsum("mt,ts->ms", ap, alpha, precision=HIGHEST)
+
+    # --- roll V and refresh AP/Z for the next iteration (ecg.c:650-653):
+    #     active columns ← Z; frozen (deactivated) columns stay in P. ---
+    z = _masked(z, mask)
+    p_new = z + p * (1.0 - mask)[None, :]
+    ap_new = a_apply(p_new)
+    z_new = m_apply(ap_new)
+    return state._replace(
+        x_blk=x_blk, r=r, p=p_new, ap=ap_new,
+        p_prev=_masked(p, mask), ap_prev=_masked(ap, mask), z=z_new,
+        mask=mask, it=state.it + 1, res=res,
+        breakdown=state.breakdown | breakdown,
+        history=state.history.at[state.it].set(res) if opts.record_history else state.history,
+    )
+
+
+_ITER_FNS = {
+    "omin": _iter_omin,
+    "odir": _iter_odir,
+    "odir_fused": _iter_odir_fused,
+}
+
+
+def ecg_solve(
+    a_apply: Callable[[jax.Array], jax.Array],
+    m_apply: Optional[Callable[[jax.Array], jax.Array]],
+    b: jax.Array,
+    opts: ECGOptions,
+    axis_name: Optional[str] = None,
+    split_assign: Optional[jax.Array] = None,
+    x0: Optional[jax.Array] = None,
+) -> ECGResult:
+    """Solve A x = b. All arrays are LOCAL row panels; inside shard_map pass
+    axis_name to reduce across shards (single device: axis_name=None).
+
+    a_apply / m_apply: jittable (m, t) -> (m, t) operator callbacks — the
+    functional replacement of the reference's reverse-communication interface
+    (reference: src/solvers/ecg.h:116-148 rci_request protocol).
+    """
+    if m_apply is None:
+        m_apply = lambda v: v
+    t = opts.t
+    dtype = b.dtype
+    m = b.shape[0]
+    variant = opts.variant
+    if variant not in _ITER_FNS:
+        raise ValueError(f"unknown ECG variant {variant!r}")
+    iter_fn = _ITER_FNS[variant]
+
+    if x0 is not None:
+        raise NotImplementedError("pass b - A x0 and add x0 to the result instead")
+    normb = jnp.sqrt(psum(jnp.vdot(b, b), axis_name))
+    r0 = split_rhs(b, t, split_assign)
+
+    p0 = m_apply(r0)
+    ap0 = a_apply(p0)
+    z0 = m_apply(ap0) if variant == "odir_fused" else jnp.zeros_like(p0)
+    zeros = jnp.zeros((m, t), dtype)
+    history = jnp.full((opts.maxiter,), -1.0, dtype)
+
+    state0 = _State(
+        x_blk=zeros, r=r0, p=p0, ap=ap0, p_prev=zeros, ap_prev=zeros, z=z0,
+        mask=jnp.ones((t,), dtype), it=jnp.int32(0),
+        res=normb.astype(dtype), breakdown=jnp.bool_(False), history=history,
+    )
+
+    red_tol = (opts.tol * normb / jnp.sqrt(jnp.asarray(float(t), dtype))).astype(dtype)
+    tol_abs = (opts.tol * normb).astype(dtype)
+
+    def cond(state: _State):
+        bs = jnp.sum(state.mask)
+        return (
+            (state.res > tol_abs)
+            & (state.it < opts.maxiter)
+            & (bs > 0)
+            & (~state.breakdown)
+        )
+
+    def body(state: _State):
+        return iter_fn(state, a_apply, m_apply, axis_name, opts, normb, red_tol)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    x = jnp.sum(final.x_blk, axis=1)  # (reference: ecg.c:668-677 sum columns)
+    return ECGResult(
+        x=x,
+        iters=final.it,
+        res=final.res,
+        normb=normb,
+        bs=jnp.sum(final.mask).astype(jnp.int32),
+        breakdown=final.breakdown,
+        history=final.history,
+    )

@@ -1,0 +1,148 @@
+"""ECG solver tests: convergence, variant parity, adaptive reduction,
+preconditioning — single device (distributed in test_distributed.py).
+
+Mirrors the reference's verification strategy (SURVEY.md §4): end-to-end
+relative residual ‖b−Ax‖/‖b‖ checked against the ORIGINAL matrix, iteration
+counts compared across variants and against plain CG.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from prealps_tpu.ops.formats import csr_to_ell
+from prealps_tpu.ops.spmm import ell_spmm
+from prealps_tpu.precond import Identity, build_block_jacobi
+from prealps_tpu.solvers import ECGOptions, ecg_solve
+
+
+def _solve(a, b, opts, precond=None):
+    ae = csr_to_ell(a)
+    a_apply = lambda x: ell_spmm(ae, x)
+    m_apply = precond.apply if precond is not None else None
+    fn = jax.jit(lambda bb: ecg_solve(a_apply, m_apply, bb, opts))
+    return fn(jnp.asarray(b))
+
+
+def _relres(a, x, b):
+    return np.linalg.norm(b - a @ np.asarray(x)) / np.linalg.norm(b)
+
+
+def _cg_iters(a, b, tol):
+    it = 0
+
+    def cb(xk):
+        nonlocal it
+        it += 1
+
+    x, info = spla.cg(a, b, rtol=tol, maxiter=100000, callback=cb)
+    return it
+
+
+@pytest.fixture(scope="module")
+def ela_problem(ela_small, rng):
+    """Scaled heterogeneous elasticity problem — the reference's operator
+    build always applies symmetric RAC scaling first (operator.c:38)."""
+    from prealps_tpu.core.scaling import sym_rac_scaling
+
+    a, d = sym_rac_scaling(ela_small)
+    b = rng.standard_normal(a.shape[0])
+    return a, b
+
+
+class TestECGVariants:
+    @pytest.mark.parametrize("variant", ["omin", "odir", "odir_fused"])
+    def test_converges_elasticity(self, ela_problem, variant):
+        a, b = ela_problem
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=3000, variant=variant)
+        res = _solve(a, b, opts)
+        assert not bool(res.breakdown)
+        assert _relres(a, res.x, b) < 5e-6, f"{variant}: relres too large"
+        assert int(res.iters) < 3000
+
+    @pytest.mark.parametrize("variant", ["omin", "odir", "odir_fused"])
+    def test_converges_lfat5(self, lfat5, rng, variant):
+        # LFAT5 is extremely ill-conditioned; the reference always sym-scales
+        # at operator build (operator.c:38), mirrored here.
+        from prealps_tpu.core.scaling import sym_rac_scaling
+
+        a, d = sym_rac_scaling(lfat5)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=2, tol=1e-8, maxiter=500, variant=variant)
+        res = _solve(a, b, opts)
+        assert _relres(a, res.x, b) < 1e-6
+
+    def test_enlarging_reduces_iterations(self, ela_problem):
+        a, b = ela_problem
+        iters = {}
+        for t in (1, 4, 8):
+            opts = ECGOptions(t=t, tol=1e-6, maxiter=5000, variant="odir")
+            res = _solve(a, b, opts)
+            iters[t] = int(res.iters)
+        assert iters[4] < iters[1]
+        assert iters[8] <= iters[4]
+
+    def test_matches_cg_at_t1(self, ela_problem):
+        # with t=1 ECG is (preconditioned) CG; iteration counts should be close
+        a, b = ela_problem
+        opts = ECGOptions(t=1, tol=1e-6, maxiter=8000, variant="omin")
+        res = _solve(a, b, opts)
+        cg_it = _cg_iters(a, b, 1e-6)
+        assert abs(int(res.iters) - cg_it) <= max(5, 0.2 * cg_it)
+
+    def test_history_monotone_tail(self, ela_problem):
+        a, b = ela_problem
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=3000, variant="odir_fused")
+        res = _solve(a, b, opts)
+        h = np.asarray(res.history)
+        h = h[h >= 0]
+        assert h[-1] <= h[0]
+        # loosely decreasing: final residual far below initial
+        assert h[-1] < 1e-4 * h[0]
+
+
+class TestBlockJacobi:
+    def test_apply_is_blockdiag_solve(self, ela_small, rng):
+        a = ela_small
+        bj = build_block_jacobi(a, nblocks=4)
+        z = rng.standard_normal((a.shape[0], 3))
+        w = np.asarray(jax.jit(bj.apply)(jnp.asarray(z)))
+        # compare against scipy per-block solves
+        from prealps_tpu.core.partition import nsplit
+
+        offs = nsplit(a.shape[0], 4)
+        w_ref = np.zeros_like(z)
+        for i in range(4):
+            r0, r1 = offs[i], offs[i + 1]
+            w_ref[r0:r1] = spla.spsolve(a[r0:r1, r0:r1].tocsc(), z[r0:r1])
+        np.testing.assert_allclose(w, w_ref, rtol=1e-8, atol=1e-10)
+
+    def test_preconditioning_reduces_iterations(self, ela_problem):
+        a, b = ela_problem
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=4000, variant="odir_fused")
+        res_plain = _solve(a, b, opts)
+        bj = build_block_jacobi(a, nblocks=8)
+        res_bj = _solve(a, b, opts, precond=bj)
+        assert _relres(a, res_bj.x, b) < 5e-6
+        assert int(res_bj.iters) < int(res_plain.iters)
+
+
+class TestAdaptive:
+    @pytest.mark.parametrize("variant", ["omin", "odir", "odir_fused"])
+    def test_adaptive_converges(self, ela_problem, variant):
+        a, b = ela_problem
+        opts = ECGOptions(t=8, tol=1e-6, maxiter=3000, variant=variant, adaptive=True)
+        res = _solve(a, b, opts)
+        assert _relres(a, res.x, b) < 5e-6
+        # block size must have been reduced at some point near convergence
+        assert int(res.bs) <= 8
+
+    def test_adaptive_reduces_block_size(self, ela_problem):
+        a, b = ela_problem
+        opts = ECGOptions(t=8, tol=1e-8, maxiter=5000, variant="odir_fused", adaptive=True)
+        res = _solve(a, b, opts)
+        assert _relres(a, res.x, b) < 5e-8
+        assert int(res.bs) < 8, "expected dynamic reduction to trigger"
