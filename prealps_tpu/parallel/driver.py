@@ -1,0 +1,195 @@
+"""Distributed ECG driver: host setup + one jitted shard_map solve.
+
+The TPU-native analog of the reference's example drivers
+(reference: examples/test_ecg_prealps_op.c): build the operator (load/scale/
+partition/distribute — reference: utils/operator.c preAlps_OperatorBuild),
+build the preconditioner, then run the solver. Here the entire RCI loop is a
+single jitted shard_map program: local SpMM on row panels with an all-gather
+of the X panel (the round-1 halo strategy; neighbor collective-permute halo
+is the planned upgrade, see SURVEY.md §7 stage 3), psum for every Gram
+reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from prealps_tpu.core.layout import (
+    RowLayout,
+    build_row_layout,
+    pad_to_padded,
+    permute_and_pad_matrix,
+    unpad_from_padded,
+)
+from prealps_tpu.core.partition import nsplit, rcm_order
+from prealps_tpu.core.scaling import sym_rac_scaling
+from prealps_tpu.ops.formats import csr_to_ell
+from prealps_tpu.ops.spmm import ell_spmm
+from prealps_tpu.precond.block_jacobi import BlockJacobi, build_block_jacobi
+from prealps_tpu.parallel.mesh import make_mesh
+from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve
+
+AXIS = "shards"
+
+
+def build_sharded_block_jacobi(
+    a_pad: sp.csr_matrix, layout: RowLayout, nblocks_per_shard: int = 1, dtype=None
+) -> BlockJacobi:
+    """Per-shard block-Jacobi with LOCAL row indexing, concatenated so the
+    arrays shard naturally along their leading axis.
+
+    (reference: src/preconditioners/block_jacobi.c — one PARDISO Cholesky of
+    the local diagonal block per rank; here nblocks_per_shard batched dense
+    Cholesky blocks per shard.)
+    """
+    parts = []
+    mpl = layout.rows_per_shard
+    for s in range(layout.nshards):
+        r0, r1 = s * mpl, (s + 1) * mpl
+        local = a_pad[r0:r1, r0:r1]
+        parts.append(build_block_jacobi(local, nblocks=nblocks_per_shard, dtype=dtype))
+    mb = max(int(p.factors.shape[1]) for p in parts)
+    assert all(int(p.factors.shape[1]) == mb for p in parts), "uniform padding expected"
+    factors = jnp.concatenate([p.factors for p in parts], axis=0)
+    gather_idx = jnp.concatenate([p.gather_idx for p in parts], axis=0)
+    inv_perm = jnp.concatenate([p.inv_perm for p in parts], axis=0)
+    return BlockJacobi(factors=factors, gather_idx=gather_idx, inv_perm=inv_perm)
+
+
+@dataclass
+class DistributedECG:
+    """Build once, solve many times. See module docstring."""
+
+    layout: RowLayout
+    opts: ECGOptions
+    mesh: object
+    scale_d: Optional[np.ndarray]   # RAC scaling vector (original ordering)
+    _solve_fn: object
+    _operands: tuple
+
+    @classmethod
+    def build(
+        cls,
+        a: sp.spmatrix,
+        nshards: Optional[int] = None,
+        opts: ECGOptions = ECGOptions(),
+        precond: str = "block_jacobi",
+        scale: bool = True,
+        nblocks_per_shard: int = 1,
+        dtype=None,
+        layout: Optional[RowLayout] = None,
+    ) -> "DistributedECG":
+        a = sp.csr_matrix(a)
+        dtype = np.dtype(dtype) if dtype is not None else a.dtype
+        scale_d = None
+        if scale:
+            a, scale_d = sym_rac_scaling(a)
+        mesh = make_mesh(nshards, AXIS)
+        nshards = mesh.devices.size
+        if layout is None:
+            layout = build_row_layout(a, nshards)
+        a_pad = permute_and_pad_matrix(a, layout)
+        ell = csr_to_ell(a_pad, dtype=dtype)
+
+        if precond in ("block_jacobi", "bj"):
+            bj = build_sharded_block_jacobi(a_pad, layout, nblocks_per_shard, dtype=dtype)
+            bj_operands = (bj.factors, bj.gather_idx, bj.inv_perm)
+        elif precond in ("none", "identity", "noprec"):
+            bj_operands = None
+        else:
+            raise ValueError(f"DistributedECG supports block_jacobi/none, got {precond!r}")
+
+        n_pad = layout.n_pad
+        mpl = layout.rows_per_shard
+        ell_width = ell.vals.shape[1]
+
+        def local_solve(b_loc, vals_loc, cols_loc, bj_ops):
+            def a_apply(x_loc):
+                # round-1 halo strategy: gather the whole X panel over ICI,
+                # then local ELL SpMM on this shard's rows
+                x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
+                gathered = x_full[cols_loc]  # (m_loc, L, t)
+                return jnp.einsum("ml,mlt->mt", vals_loc, gathered,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+            if bj_ops is not None:
+                m_apply = BlockJacobi(*bj_ops).apply
+            else:
+                m_apply = None
+
+            # rhs split: contiguous global split into t chunks
+            s_idx = jax.lax.axis_index(AXIS)
+            gpos = s_idx * mpl + jnp.arange(mpl)
+            assign = ((gpos * opts.t) // n_pad).astype(jnp.int32)
+            return ecg_solve(a_apply, m_apply, b_loc, opts,
+                             axis_name=AXIS, split_assign=assign)
+
+        in_specs = (
+            P(AXIS),            # b
+            P(AXIS, None),      # ell vals
+            P(AXIS, None),      # ell cols
+            (P(AXIS, None, None), P(AXIS), P(AXIS)) if bj_operands is not None else None,
+        )
+        out_specs = jax.tree_util.tree_map(lambda _: P(), _result_spec_tree())
+        out_specs = out_specs._replace(x=P(AXIS))
+
+        fn = jax.jit(
+            _shard_map(
+                local_solve,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        operands = (ell.vals, ell.cols, bj_operands)
+        return cls(
+            layout=layout, opts=opts, mesh=mesh, scale_d=scale_d,
+            _solve_fn=fn, _operands=operands,
+        )
+
+    def solve(self, b: np.ndarray):
+        """Solve A x = b (original ordering/scaling). Returns (x, info)."""
+        b = np.asarray(b)
+        dtype = np.asarray(self._operands[0]).dtype
+        if self.scale_d is not None:
+            b_eff = (self.scale_d * b).astype(dtype)
+        else:
+            b_eff = b.astype(dtype)
+        b_pad = pad_to_padded(self.layout, b_eff)
+        res = self._solve_fn(jnp.asarray(b_pad), *self._operands)
+        x_pad = np.asarray(res.x)
+        x = unpad_from_padded(self.layout, x_pad)
+        if self.scale_d is not None:
+            x = self.scale_d * x
+        info = {
+            "iters": int(res.iters),
+            "res": float(res.res),
+            "normb": float(res.normb),
+            "bs": int(res.bs),
+            "breakdown": bool(res.breakdown),
+            "history": np.asarray(res.history),
+        }
+        return x, info
+
+
+def _result_spec_tree():
+    """An ECGResult-shaped namedtuple usable as an out_specs template."""
+    from prealps_tpu.solvers.ecg import ECGResult
+
+    return ECGResult(
+        x=0, iters=0, res=0, normb=0, bs=0, breakdown=0, history=0
+    )

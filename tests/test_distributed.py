@@ -1,0 +1,70 @@
+"""Distributed ECG on the 8-virtual-device CPU mesh.
+
+Mirrors the reference's `mpirun -np 8` verification style (SURVEY.md §4.6):
+the distributed result must match the single-shard result and satisfy the
+end-to-end ‖b−Ax‖/‖b‖ check against the original matrix.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from prealps_tpu.parallel.driver import DistributedECG
+from prealps_tpu.solvers import ECGOptions
+
+
+def _relres(a, x, b):
+    return np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+
+
+@pytest.fixture(scope="module")
+def ela_b(ela_small, rng):
+    return rng.standard_normal(ela_small.shape[0])
+
+
+class TestDistributedECG:
+    def test_8shards_converges(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused")
+        solver = DistributedECG.build(ela_small, nshards=8, opts=opts)
+        x, info = solver.solve(ela_b)
+        assert not info["breakdown"]
+        assert _relres(ela_small, x, ela_b) < 2e-5  # sqrt(t) slack on the split-residual norm
+        assert info["iters"] < 2000
+
+    def test_matches_single_shard(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s1 = DistributedECG.build(ela_small, nshards=1, opts=opts)
+        s8 = DistributedECG.build(ela_small, nshards=8, opts=opts)
+        x1, i1 = s1.solve(ela_b)
+        x8, i8 = s8.solve(ela_b)
+        # different row orders => different rhs splits; iteration counts may
+        # differ slightly but both must solve to the same accuracy
+        assert _relres(ela_small, x1, ela_b) < 2e-5
+        assert _relres(ela_small, x8, ela_b) < 2e-5
+
+    @pytest.mark.parametrize("variant", ["omin", "odir"])
+    def test_variants_distributed(self, ela_small, ela_b, variant):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant=variant)
+        solver = DistributedECG.build(ela_small, nshards=4, opts=opts)
+        x, info = solver.solve(ela_b)
+        assert _relres(ela_small, x, ela_b) < 2e-5  # sqrt(t) slack on the split-residual norm
+
+    def test_no_precond(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=3000)
+        solver = DistributedECG.build(ela_small, nshards=8, opts=opts, precond="none")
+        x, info = solver.solve(ela_b)
+        assert _relres(ela_small, x, ela_b) < 2e-5  # sqrt(t) slack on the split-residual norm
+
+    def test_adaptive_distributed(self, ela_small, ela_b):
+        opts = ECGOptions(t=8, tol=1e-7, maxiter=3000, variant="odir_fused", adaptive=True)
+        solver = DistributedECG.build(ela_small, nshards=8, opts=opts)
+        x, info = solver.solve(ela_b)
+        assert _relres(ela_small, x, ela_b) < 2e-6
+
+    def test_deterministic(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000)
+        solver = DistributedECG.build(ela_small, nshards=8, opts=opts)
+        x1, i1 = solver.solve(ela_b)
+        x2, i2 = solver.solve(ela_b)
+        np.testing.assert_array_equal(x1, x2)
+        assert i1["iters"] == i2["iters"]
