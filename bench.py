@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark: ECG time-to-solution + SpMM throughput on one chip.
+
+Mirrors the reference's headline benchmark (BASELINE.md: ECG(t=12), tol=1e-5,
+block-Jacobi, 3-D elasticity n=145,563 "Ela400" — 5.28 s on 24 Xeon cores /
+2.16 s on 48). Here: the same problem family generated at the same scale
+(elasticity3d 36³ elements → n=147,852), solved on a single TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+vs_baseline = reference_time / our_time (>1 ⇒ faster than the 24-proc
+reference run).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # true-f32 MXU accumulation everywhere (bf16 passes break CG convergence)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    nel = int(os.environ.get("PREALPS_BENCH_NEL", "36"))
+    t = int(os.environ.get("PREALPS_BENCH_T", "12"))
+    tol = float(os.environ.get("PREALPS_BENCH_TOL", "1e-5"))
+    maxiter = int(os.environ.get("PREALPS_BENCH_MAXITER", "3000"))
+    block_size = int(os.environ.get("PREALPS_BENCH_BJ", "1024"))
+    fmt = os.environ.get("PREALPS_BENCH_FMT", "block_ell" if on_tpu else "ell")
+    dtype = np.float32 if on_tpu else np.float64
+
+    from prealps_tpu.core.generators import elasticity3d
+    from prealps_tpu.parallel.driver import DistributedECG
+    from prealps_tpu.solvers import ECGOptions
+
+    t0 = time.time()
+    a = elasticity3d(nel, nel, nel)
+    n, nnz = a.shape[0], a.nnz
+    gen_t = time.time() - t0
+
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+
+    t0 = time.time()
+    opts = ECGOptions(t=t, tol=tol, maxiter=maxiter, variant="odir_fused")
+    solver = DistributedECG.build(
+        a, nshards=1, opts=opts, precond="block_jacobi",
+        block_size=block_size, dtype=dtype, fmt=fmt,
+    )
+    build_t = time.time() - t0
+
+    # warm-up (compile) then timed solve
+    t0 = time.time()
+    x, info = solver.solve(b)
+    warm_t = time.time() - t0
+    t0 = time.time()
+    x, info = solver.solve(b)
+    tts = time.time() - t0
+
+    relres = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
+
+    # SpMM microbenchmark: the raw distributed A-apply via the ECG path is
+    # what matters; approximate per-iteration SpMM cost from the solve:
+    spmm_nnz_per_s = nnz * info["iters"] / tts if tts > 0 else 0.0
+
+    baseline_24p = 5.28  # s, reference ECG(12) Ela400 on 24 Xeon cores
+    out = {
+        "metric": "ecg_tts_elasticity3d_145k_t12_tol1e-5",
+        "value": round(tts, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_24p / tts, 3) if tts > 0 else 0.0,
+        "platform": platform,
+        "n": n,
+        "nnz": nnz,
+        "iters": info["iters"],
+        "relres": relres,
+        "converged": bool(relres < 10 * tol),
+        "fmt": fmt,
+        "build_s": round(build_t, 2),
+        "compile_s": round(warm_t - tts, 2),
+        "gen_s": round(gen_t, 2),
+        "spmm_nnz_per_s_est": round(spmm_nnz_per_s / 1e9, 3),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,16 +48,19 @@ class RowLayout:
         return slice(s * self.rows_per_shard, (s + 1) * self.rows_per_shard)
 
 
-def _padded_perm_offsets(part: np.ndarray, nshards: int):
+def _padded_perm_offsets(part: np.ndarray, nshards: int, row_multiple: int = 8):
     """Permutation ordering rows by part, plus equalised per-shard ranges.
 
     Rows are ordered part-by-part; each shard's panel is then padded at the
     global tail. To keep every shard's *own* rows contiguous AND equal-sized,
     we interleave padding rows per shard: shard s owns permuted-global rows
-    [s*rps, (s+1)*rps), the first count[s] of which are real.
+    [s*rps, (s+1)*rps), the first count[s] of which are real. rows_per_shard
+    is rounded up to row_multiple (8 = f32 sublane) so device block formats
+    tile cleanly.
     """
     counts = np.bincount(part, minlength=nshards)
     rows_per_shard = int(counts.max())
+    rows_per_shard = -(-rows_per_shard // row_multiple) * row_multiple
     perm_grouped, offsets = partition_to_perm(part, nshards)
     return perm_grouped, offsets, rows_per_shard
 

@@ -29,7 +29,8 @@ from prealps_tpu.ops.formats import BlockEllMatrix, EllMatrix
 def ell_spmm(a: EllMatrix, x: jax.Array) -> jax.Array:
     """y = A @ x with A in ELL format. x: (ncols, t) -> y: (n, t)."""
     gathered = x[a.cols]            # (n, L, t)
-    return jnp.einsum("nl,nlt->nt", a.vals, gathered)
+    return jnp.einsum("nl,nlt->nt", a.vals, gathered,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def block_ell_spmm(a: BlockEllMatrix, x: jax.Array) -> jax.Array:
@@ -39,7 +40,8 @@ def block_ell_spmm(a: BlockEllMatrix, x: jax.Array) -> jax.Array:
     xb = x.reshape(-1, bk, t)       # (ncb, bk, t)
     gathered = xb[a.blkcols]        # (nrb, S, bk, t)
     y = jnp.einsum("rsmk,rskt->rmt", a.blocks, gathered,
-                   preferred_element_type=x.dtype)
+                   preferred_element_type=x.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     return y.reshape(nrb * bm, t)
 
 
@@ -63,7 +65,8 @@ def _spmm_kernel(blkcols_ref, x_ref, blocks_ref, out_ref, *, rb_per_prog, s_max,
             col = blkcols_ref[rb_global * s_max + s]
             xblk = x_ref[pl.ds(col * bk, bk), :]
             blk = blocks_ref[r, s, :, :]
-            return acc + jnp.dot(blk, xblk, preferred_element_type=jnp.float32)
+            return acc + jnp.dot(blk, xblk, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
 
         acc = jax.lax.fori_loop(0, s_max, body, acc)
         out_ref[pl.ds(r * bm, bm), :] = acc.astype(out_ref.dtype)

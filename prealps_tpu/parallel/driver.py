@@ -89,8 +89,11 @@ class DistributedECG:
         precond: str = "block_jacobi",
         scale: bool = True,
         nblocks_per_shard: int = 1,
+        block_size: Optional[int] = None,
         dtype=None,
         layout: Optional[RowLayout] = None,
+        fmt: str = "ell",            # ell | block_ell (Pallas) | block_ell_xla
+        rb_per_prog: int = 16,
     ) -> "DistributedECG":
         a = sp.csr_matrix(a)
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
@@ -102,28 +105,61 @@ class DistributedECG:
         if layout is None:
             layout = build_row_layout(a, nshards)
         a_pad = permute_and_pad_matrix(a, layout)
-        ell = csr_to_ell(a_pad, dtype=dtype)
-
-        if precond in ("block_jacobi", "bj"):
-            bj = build_sharded_block_jacobi(a_pad, layout, nblocks_per_shard, dtype=dtype)
-            bj_operands = (bj.factors, bj.gather_idx, bj.inv_perm)
-        elif precond in ("none", "identity", "noprec"):
-            bj_operands = None
-        else:
-            raise ValueError(f"DistributedECG supports block_jacobi/none, got {precond!r}")
 
         n_pad = layout.n_pad
         mpl = layout.rows_per_shard
-        ell_width = ell.vals.shape[1]
 
-        def local_solve(b_loc, vals_loc, cols_loc, bj_ops):
+        from prealps_tpu.ops.formats import BlockEllMatrix, csr_to_block_ell
+        from prealps_tpu.ops.spmm import block_ell_spmm, block_ell_spmm_pallas
+
+        if fmt == "ell":
+            ell = csr_to_ell(a_pad, dtype=dtype)
+            mat_operands = (ell.vals, ell.cols)
+            mat_specs = (P(AXIS, None), P(AXIS, None))
+        elif fmt in ("block_ell", "block_ell_xla"):
+            bell = csr_to_block_ell(a_pad, bm=8, bk=128, dtype=dtype)
+            assert bell.shape[0] == n_pad, "row padding must already align to 8"
+            mat_operands = (bell.blocks, bell.blkcols)
+            mat_specs = (P(AXIS, None, None, None), P(AXIS, None))
+            ncols_pad = bell.shape[1]
+            interpret = jax.devices()[0].platform != "tpu"
+        else:
+            raise ValueError(f"unknown fmt {fmt!r}")
+
+        if precond in ("block_jacobi", "bj"):
+            if block_size is not None:
+                nblocks_per_shard = max(1, -(-mpl // block_size))
+            bj = build_sharded_block_jacobi(a_pad, layout, nblocks_per_shard, dtype=dtype)
+            bj_operands = (bj.factors, bj.gather_idx, bj.inv_perm)
+            bj_specs = (P(AXIS, None, None), P(AXIS), P(AXIS))
+        elif precond in ("none", "identity", "noprec"):
+            bj_operands = None
+            bj_specs = None
+        else:
+            raise ValueError(f"DistributedECG supports block_jacobi/none, got {precond!r}")
+
+        def local_solve(b_loc, mat_ops, bj_ops):
             def a_apply(x_loc):
                 # round-1 halo strategy: gather the whole X panel over ICI,
-                # then local ELL SpMM on this shard's rows
+                # then local SpMM on this shard's rows
                 x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
-                gathered = x_full[cols_loc]  # (m_loc, L, t)
-                return jnp.einsum("ml,mlt->mt", vals_loc, gathered,
-                                  precision=jax.lax.Precision.HIGHEST)
+                if fmt == "ell":
+                    vals_loc, cols_loc = mat_ops
+                    gathered = x_full[cols_loc]  # (m_loc, L, t)
+                    return jnp.einsum("ml,mlt->mt", vals_loc, gathered,
+                                      precision=jax.lax.Precision.HIGHEST)
+                blocks_loc, blkcols_loc = mat_ops
+                pad = ncols_pad - n_pad
+                if pad:
+                    x_full = jnp.concatenate(
+                        [x_full, jnp.zeros((pad, x_full.shape[1]), x_full.dtype)], axis=0
+                    )
+                local = BlockEllMatrix(blocks_loc, blkcols_loc, (mpl, ncols_pad))
+                if fmt == "block_ell":
+                    return block_ell_spmm_pallas(
+                        local, x_full, rb_per_prog=rb_per_prog, interpret=interpret
+                    )
+                return block_ell_spmm(local, x_full)
 
             if bj_ops is not None:
                 m_apply = BlockJacobi(*bj_ops).apply
@@ -137,12 +173,7 @@ class DistributedECG:
             return ecg_solve(a_apply, m_apply, b_loc, opts,
                              axis_name=AXIS, split_assign=assign)
 
-        in_specs = (
-            P(AXIS),            # b
-            P(AXIS, None),      # ell vals
-            P(AXIS, None),      # ell cols
-            (P(AXIS, None, None), P(AXIS), P(AXIS)) if bj_operands is not None else None,
-        )
+        in_specs = (P(AXIS), mat_specs, bj_specs)
         out_specs = jax.tree_util.tree_map(lambda _: P(), _result_spec_tree())
         out_specs = out_specs._replace(x=P(AXIS))
 
@@ -155,7 +186,7 @@ class DistributedECG:
                 check_vma=False,
             )
         )
-        operands = (ell.vals, ell.cols, bj_operands)
+        operands = (mat_operands, bj_operands)
         return cls(
             layout=layout, opts=opts, mesh=mesh, scale_d=scale_d,
             _solve_fn=fn, _operands=operands,
@@ -164,7 +195,7 @@ class DistributedECG:
     def solve(self, b: np.ndarray):
         """Solve A x = b (original ordering/scaling). Returns (x, info)."""
         b = np.asarray(b)
-        dtype = np.asarray(self._operands[0]).dtype
+        dtype = np.asarray(self._operands[0][0]).dtype
         if self.scale_d is not None:
             b_eff = (self.scale_d * b).astype(dtype)
         else:

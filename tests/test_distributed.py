@@ -68,3 +68,21 @@ class TestDistributedECG:
         x2, i2 = solver.solve(ela_b)
         np.testing.assert_array_equal(x1, x2)
         assert i1["iters"] == i2["iters"]
+
+
+class TestBlockEllDistributed:
+    def test_block_ell_xla_matches(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s = DistributedECG.build(ela_small, nshards=4, opts=opts, fmt="block_ell_xla")
+        x, info = s.solve(ela_b)
+        assert _relres(ela_small, x, ela_b) < 2e-5
+
+    def test_block_ell_pallas_interpret(self, poisson_small, rng):
+        # pallas interpret mode is slow on CPU: tiny problem, few iterations
+        b = rng.standard_normal(poisson_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=60, variant="odir_fused")
+        s = DistributedECG.build(
+            poisson_small, nshards=2, opts=opts, fmt="block_ell", precond="none"
+        )
+        x, info = s.solve(b)
+        assert _relres(poisson_small, x, b) < 2e-5

@@ -1,0 +1,98 @@
+"""LORASC preconditioner tests.
+
+Mirrors the reference's verification (SURVEY.md §4, test_lorasc.c:501-514):
+end-to-end ‖b−Ax‖/‖b‖ against the ORIGINAL (unscaled, unpermuted) matrix,
+plus the headline property (BASELINE.md Table 4): LORASC cuts the iteration
+count dramatically vs block Jacobi on heterogeneous elasticity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.sparse as sp
+
+from prealps_tpu.api import ECGSolver
+from prealps_tpu.core.partition import block_arrow_structure, permute
+from prealps_tpu.core.scaling import sym_rac_scaling
+from prealps_tpu.precond.lorasc import build_lorasc, schur_complement_dense
+from prealps_tpu.solvers import ECGOptions
+
+
+def _relres(a, x, b):
+    return np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+
+
+class TestLorascBuild:
+    def test_apply_shapes_and_exactness_no_deflation_needed(self, poisson_small, rng):
+        # on a well-conditioned matrix the eigensolve may deflate nothing;
+        # the apply must still be a sane block preconditioner
+        a = poisson_small
+        lor, arrow = build_lorasc(a, nparts=4, deflation_tol=1e-12)
+        v = rng.standard_normal((a.shape[0], 2))
+        w = np.asarray(jax.jit(lor.apply)(jnp.asarray(v)))
+        assert w.shape == v.shape
+        assert np.all(np.isfinite(w))
+
+    def test_eigsolve_direct_vs_scipy(self, ela_small):
+        a, _ = sym_rac_scaling(ela_small)
+        arrow = block_arrow_structure(a, 4)
+        ap = permute(a, arrow.perm)
+        ni = arrow.sep_start
+        s = schur_complement_dense(
+            ap[:ni, :ni].tocsr(), ap[:ni, ni:].tocsr(),
+            ap[ni:, :ni].tocsr(), ap[ni:, ni:].tocsr(),
+        )
+        agg = ap[ni:, ni:].toarray()
+        lam = scipy.linalg.eigh(s, agg, eigvals_only=True)
+        # generalized eigenvalues of (S, Agg) lie in (0, 1] for SPD A
+        assert lam.min() > 0
+        assert lam.max() <= 1.0 + 1e-8
+
+    def test_lanczos_matches_direct_smallest(self, ela_small):
+        a, _ = sym_rac_scaling(ela_small)
+        arrow = block_arrow_structure(a, 4)
+        lor_d, _ = build_lorasc(a, arrow=arrow, deflation_tol=1e-1, eig_method="direct")
+        lor_l, _ = build_lorasc(
+            a, arrow=arrow, deflation_tol=1e-1, eig_method="lanczos",
+            lanczos_ncv=min(arrow.sep_size, 80),
+        )
+        nd = int(lor_d.sigma.shape[0])
+        nl = int(lor_l.sigma.shape[0])
+        # Lanczos should find at least the dominant deflation candidates
+        assert nl >= min(nd, 3) - 1
+
+
+class TestLorascSolve:
+    def test_ecg_lorasc_elasticity(self, ela_small, rng):
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=2000, variant="odir_fused")
+        solver = ECGSolver.build(ela_small, opts=opts, precond="lorasc", nparts=4)
+        x, info = solver.solve(b)
+        assert not info["breakdown"]
+        assert _relres(ela_small, x, b) < 1e-5
+
+    def test_lorasc_beats_block_jacobi(self, ela_small, rng):
+        # headline property (BASELINE.md Table 4): LORASC iterations ≪ BJ's
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=4000, variant="odir_fused")
+        s_bj = ECGSolver.build(ela_small, opts=opts, precond="block_jacobi", nblocks=4)
+        s_lo = ECGSolver.build(ela_small, opts=opts, precond="lorasc", nparts=4)
+        x1, i_bj = s_bj.solve(b)
+        x2, i_lo = s_lo.solve(b)
+        assert _relres(ela_small, x2, b) < 1e-5
+        assert i_lo["iters"] < i_bj["iters"], (
+            f"LORASC {i_lo['iters']} vs BJ {i_bj['iters']}"
+        )
+
+    def test_deflation_count_grows_with_contrast(self):
+        from prealps_tpu.core.generators import elasticity3d
+
+        a1, _ = sym_rac_scaling(elasticity3d(4, 4, 4, heterogeneous=False))
+        a2, _ = sym_rac_scaling(elasticity3d(4, 4, 4, contrast=1e4))
+        l1, _ = build_lorasc(a1, nparts=4)
+        l2, _ = build_lorasc(a2, nparts=4)
+        n1 = int((np.asarray(l1.sigma) > 0).sum())
+        n2 = int((np.asarray(l2.sigma) > 0).sum())
+        assert n2 >= n1
