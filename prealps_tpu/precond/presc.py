@@ -1,0 +1,171 @@
+"""PRESC: Schur-complement preconditioner with *local* Schur deflation.
+
+(reference: src/preconditioners/presc.c + presc_eigsolve.c — the experimental
+sibling of LORASC.) The apply is the same forward/backward block sweep with a
+low-rank separator correction as LORASC (reference: presc.c:441-585 is
+structurally identical to lorasc.c:368-618); what differs is the deflation
+eigenproblem (reference: presc.h:18-21):
+
+* SSLOC:  S u = λ Sloc u, Sloc = blockdiag of EXACT local Schur complements
+          Sloc_p = Agg_pp − Agi_p Aii_p⁻¹ Aig_p — the reference computes
+          these with the direct solver's partial-factorisation Schur feature
+          (reference: mkl_pardiso_solver.c:131-141 iparm[35]=2); here they
+          are assembled by batched solves (direct/schur.py role, host-side).
+* SALOC:  S u = λ Aloc u, Aloc = blockdiag(Agg_pp).
+
+Note: the reference allocates but never assigns PRESC's sigma weights (the
+code is experimental); this implementation adopts LORASC's correction
+σᵢ = (tol − λᵢ)/λᵢ so the preconditioner is well defined.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from prealps_tpu.core.partition import BlockArrowStruct, block_arrow_structure, permute
+from prealps_tpu.direct.subdomain import DenseCholesky, build_block_solver
+from prealps_tpu.ops.formats import csr_to_ell
+from prealps_tpu.precond.lorasc import Lorasc, schur_complement_dense
+
+import jax.numpy as jnp
+
+
+def separator_owners(ap: sp.csr_matrix, arrow: BlockArrowStruct) -> np.ndarray:
+    """Assign each separator row to the part it is most strongly coupled to
+    (deterministic; ties broken toward the lower part id).
+
+    (reference: the ODB structure keeps each rank's separator rows local —
+    preAlps_utils.c:521 blockDiagODBStructCreate; here ownership is recovered
+    from the coupling pattern.)
+    """
+    ni, n = arrow.sep_start, arrow.n
+    k = arrow.nparts
+    off = arrow.interior_offsets
+    owners = np.zeros(n - ni, dtype=np.int64)
+    agi = ap[ni:, :ni].tocsr()
+    for i in range(n - ni):
+        cols = agi.indices[agi.indptr[i]: agi.indptr[i + 1]]
+        if cols.size == 0:
+            owners[i] = 0
+            continue
+        parts = np.searchsorted(off, cols, side="right") - 1
+        counts = np.bincount(parts, minlength=k)
+        owners[i] = int(np.argmax(counts))
+    return owners
+
+
+def local_schur_complements(ap: sp.csr_matrix, arrow: BlockArrowStruct, sep_owner):
+    """Exact local Schur complements Sloc_p (dense), separator grouped by
+    owner. Returns (blocks list, sep_offsets)."""
+    ni = arrow.sep_start
+    off = arrow.interior_offsets
+    k = arrow.nparts
+    blocks = []
+    sep_counts = np.bincount(sep_owner, minlength=k)
+    sep_off = np.concatenate([[0], np.cumsum(sep_counts)])
+    for p in range(k):
+        rows = np.flatnonzero(sep_owner == p) + ni
+        i0, i1 = int(off[p]), int(off[p + 1])
+        agg_pp = ap[rows][:, rows].toarray()
+        if rows.size == 0:
+            blocks.append(np.zeros((0, 0)))
+            continue
+        aig_p = ap[i0:i1, rows]
+        agi_p = ap[rows, i0:i1]
+        aii_p = ap[i0:i1, i0:i1].tocsc()
+        if i1 > i0 and aig_p.nnz:
+            w = spla.spsolve(aii_p, aig_p.tocsc())
+            if sp.issparse(w):
+                w = w.toarray()
+            w = np.atleast_2d(np.asarray(w))
+            if w.shape[0] != i1 - i0:
+                w = w.T
+            s = agg_pp - agi_p @ w
+        else:
+            s = agg_pp
+        blocks.append(0.5 * (s + s.T))
+    return blocks, sep_off
+
+
+def build_presc(
+    a: sp.spmatrix,
+    nparts: int = 8,
+    deflation_tol: float = 1e-2,
+    max_deflation: int = 64,
+    eigs_kind: str = "ssloc",        # ssloc | saloc
+    arrow: BlockArrowStruct | None = None,
+    dtype=None,
+):
+    """Build PRESC for A (original ordering). Returns (precond, arrow’) where
+    arrow’ carries the final permutation (separator regrouped by owner)."""
+    a = sp.csr_matrix(a)
+    dtype = np.dtype(dtype) if dtype is not None else a.dtype
+    if arrow is None:
+        arrow = block_arrow_structure(a, nparts)
+    ap = permute(a, arrow.perm)
+    ni, n = arrow.sep_start, arrow.n
+
+    # regroup separator rows by owning part (ODB-style locality)
+    owner = separator_owners(ap, arrow)
+    sep_order = np.argsort(owner, kind="stable")
+    perm2 = np.concatenate([np.arange(ni), ni + sep_order])
+    ap = permute(ap, perm2)
+    arrow = BlockArrowStruct(
+        perm=arrow.perm[perm2],
+        interior_offsets=arrow.interior_offsets,
+        sep_start=ni,
+        n=n,
+        part=arrow.part,
+    )
+    owner = owner[sep_order]
+
+    aii = ap[:ni, :ni].tocsr()
+    aig = ap[:ni, ni:].tocsr()
+    agi = ap[ni:, :ni].tocsr()
+    agg = ap[ni:, ni:].tocsr()
+
+    aii_solver = build_block_solver(aii, arrow.interior_offsets, dtype=dtype)
+    agg_solver = DenseCholesky.build(agg, dtype=dtype)
+
+    s_dense = schur_complement_dense(aii, aig, agi, agg)
+    if eigs_kind == "ssloc":
+        blocks, sep_off = local_schur_complements(ap, arrow, owner)
+        b_dense = scipy.linalg.block_diag(*[b for b in blocks if b.size])
+    elif eigs_kind == "saloc":
+        sep_counts = np.bincount(owner, minlength=arrow.nparts)
+        sep_off = np.concatenate([[0], np.cumsum(sep_counts)])
+        b_blocks = [
+            agg[sep_off[p]: sep_off[p + 1], sep_off[p]: sep_off[p + 1]].toarray()
+            for p in range(arrow.nparts)
+        ]
+        b_dense = scipy.linalg.block_diag(*[b for b in b_blocks if b.size])
+    else:
+        raise ValueError(f"unknown eigs_kind {eigs_kind!r}")
+
+    # B must be SPD; guard small indefiniteness from disconnected parts
+    b_dense = b_dense + 1e-12 * np.eye(b_dense.shape[0]) * max(b_dense.diagonal().max(), 1)
+    lam, vecs = scipy.linalg.eigh(s_dense, b_dense)
+
+    sel = np.flatnonzero(lam <= deflation_tol)[:max_deflation]
+    if sel.size == 0:
+        e_mat = np.zeros((n - ni, 1))
+        sigma = np.zeros((1,))
+    else:
+        e_mat = vecs[:, sel]
+        lam_sel = lam[sel]
+        sigma = (deflation_tol - lam_sel) / lam_sel
+
+    precond = Lorasc(
+        aii_solver=aii_solver,
+        agg_solver=agg_solver,
+        aig=csr_to_ell(aig, dtype=dtype),
+        agi=csr_to_ell(agi, dtype=dtype),
+        e_mat=jnp.asarray(e_mat, dtype=dtype),
+        sigma=jnp.asarray(sigma, dtype=dtype),
+        ni=ni,
+        ng=n - ni,
+    )
+    return precond, arrow

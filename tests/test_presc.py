@@ -1,0 +1,64 @@
+"""PRESC preconditioner tests (reference: src/preconditioners/presc.c)."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from prealps_tpu.api import ECGSolver
+from prealps_tpu.core.partition import block_arrow_structure, permute
+from prealps_tpu.core.scaling import sym_rac_scaling
+from prealps_tpu.precond.presc import (
+    build_presc,
+    local_schur_complements,
+    separator_owners,
+)
+from prealps_tpu.precond.lorasc import schur_complement_dense
+from prealps_tpu.solvers import ECGOptions
+
+
+def _relres(a, x, b):
+    return np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+
+
+class TestLocalSchur:
+    def test_local_schur_spd_and_dominates_global(self, ela_small):
+        a, _ = sym_rac_scaling(ela_small)
+        arrow = block_arrow_structure(a, 4)
+        ap = permute(a, arrow.perm)
+        owner = separator_owners(ap, arrow)
+        blocks, sep_off = local_schur_complements(ap, arrow, owner)
+        for b in blocks:
+            if b.size:
+                # exact local Schur complements of an SPD matrix are SPD
+                np.linalg.cholesky(b)
+
+    def test_owner_assignment_covers_all(self, ela_small):
+        a, _ = sym_rac_scaling(ela_small)
+        arrow = block_arrow_structure(a, 4)
+        ap = permute(a, arrow.perm)
+        owner = separator_owners(ap, arrow)
+        assert owner.shape[0] == arrow.sep_size
+        assert owner.min() >= 0 and owner.max() < 4
+
+
+class TestPrescSolve:
+    @pytest.mark.parametrize("kind", ["ssloc", "saloc"])
+    def test_ecg_presc_converges(self, ela_small, rng, kind):
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=3000, variant="odir_fused")
+        solver = ECGSolver.build(
+            ela_small, opts=opts, precond="presc", nparts=4, eigs_kind=kind
+        )
+        x, info = solver.solve(b)
+        assert not info["breakdown"]
+        assert _relres(ela_small, x, b) < 1e-5
+
+    def test_presc_beats_block_jacobi(self, ela_small, rng):
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=4000, variant="odir_fused")
+        s_bj = ECGSolver.build(ela_small, opts=opts, precond="block_jacobi", nblocks=4)
+        s_pr = ECGSolver.build(ela_small, opts=opts, precond="presc", nparts=4)
+        _, i_bj = s_bj.solve(b)
+        x, i_pr = s_pr.solve(b)
+        assert _relres(ela_small, x, b) < 1e-5
+        assert i_pr["iters"] < i_bj["iters"]
