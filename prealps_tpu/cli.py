@@ -1,0 +1,143 @@
+"""Command-line drivers mirroring the reference's example binaries.
+
+(reference: examples/test_ecg_prealps_op.c getopt flags -m matrix -e enlarging
+factor -o ortho alg -r adaptive reduction -t tol -i maxiter; test_lorasc.c
+-p precond -npLevel1.) Entry points are installed as prealps-ecg /
+prealps-lorasc / prealps-bench (pyproject.toml).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_matrix(args):
+    from prealps_tpu.core.generators import elasticity3d, poisson3d
+    from prealps_tpu.core.io import load_mtx
+
+    if args.matrix:
+        return load_mtx(args.matrix)
+    if args.generate.startswith("ela"):
+        nx, ny, nz = (int(v) for v in args.size.split("x"))
+        return elasticity3d(nx, ny, nz)
+    nx, ny, nz = (int(v) for v in args.size.split("x"))
+    return poisson3d(nx, ny, nz)
+
+
+def _common_parser(desc):
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("-m", "--matrix", help="MatrixMarket file (.mtx)")
+    p.add_argument("--generate", default="ela", choices=["ela", "poisson"],
+                   help="generated problem family when no matrix is given")
+    p.add_argument("--size", default="12x10x10", help="elements per dim, e.g. 12x10x10")
+    p.add_argument("-e", "--enlarging-factor", type=int, default=4, dest="t")
+    p.add_argument("-o", "--ortho-alg", default="odir_fused",
+                   choices=["omin", "odir", "odir_fused"])
+    p.add_argument("-r", "--adaptive", action="store_true",
+                   help="dynamic search-direction reduction (ADAPT_BS)")
+    p.add_argument("-t", "--tol", type=float, default=1e-5)
+    p.add_argument("-i", "--maxiter", type=int, default=10000)
+    p.add_argument("--nshards", type=int, default=1)
+    p.add_argument("--fmt", default="ell", choices=["ell", "block_ell", "block_ell_xla"])
+    p.add_argument("--dtype", default=None, choices=[None, "f32", "f64"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+    return p
+
+
+def _dtype_of(args):
+    if args.dtype == "f32":
+        return np.float32
+    if args.dtype == "f64":
+        return np.float64
+    return None
+
+
+def _report(args, a, b, x, info, wall):
+    relres = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
+    out = {
+        "n": a.shape[0], "nnz": a.nnz, "iters": info["iters"],
+        "relres": relres, "wall_s": round(wall, 4),
+    }
+    out.update({k: info[k] for k in ("bs", "breakdown", "refine_rounds") if k in info})
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k:>12}: {v}")
+    return 0 if relres < 100 * args.tol else 1
+
+
+def ecg_main(argv=None):
+    """ECG + block Jacobi (reference: examples/test_ecg_prealps_op.c)."""
+    p = _common_parser("Enlarged CG with block-Jacobi preconditioning")
+    p.add_argument("--nblocks-per-shard", type=int, default=1)
+    p.add_argument("--precond", default="block_jacobi",
+                   choices=["block_jacobi", "none"])
+    args = p.parse_args(argv)
+
+    from prealps_tpu.parallel.driver import DistributedECG
+    from prealps_tpu.solvers import ECGOptions
+
+    a = _load_matrix(args)
+    rng = np.random.default_rng(args.seed)
+    b = rng.standard_normal(a.shape[0])
+    opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
+                      variant=args.ortho_alg, adaptive=args.adaptive)
+    solver = DistributedECG.build(
+        a, nshards=args.nshards, opts=opts, precond=args.precond,
+        nblocks_per_shard=args.nblocks_per_shard, dtype=_dtype_of(args),
+        fmt=args.fmt,
+    )
+    t0 = time.time()
+    x, info = solver.solve(b)
+    return _report(args, a, b, x, info, time.time() - t0)
+
+
+def lorasc_main(argv=None):
+    """ECG + LORASC / PRESC (reference: examples/test_lorasc.c, test_presc.c)."""
+    p = _common_parser("Enlarged CG with LORASC/PRESC Schur preconditioning")
+    p.add_argument("-p", "--precond", default="lorasc", choices=["lorasc", "presc"])
+    p.add_argument("--nparts", type=int, default=8,
+                   help="subdomain count (reference: -npLevel1 analog)")
+    p.add_argument("--deflation-tol", type=float, default=1e-2)
+    p.add_argument("--eig-method", default="direct", choices=["direct", "lanczos"])
+    p.add_argument("--eigs-kind", default="ssloc", choices=["ssloc", "saloc"])
+    args = p.parse_args(argv)
+
+    from prealps_tpu.api import ECGSolver
+    from prealps_tpu.solvers import ECGOptions
+
+    a = _load_matrix(args)
+    rng = np.random.default_rng(args.seed)
+    b = rng.standard_normal(a.shape[0])
+    opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
+                      variant=args.ortho_alg, adaptive=args.adaptive)
+    kwargs = dict(nparts=args.nparts, deflation_tol=args.deflation_tol,
+                  dtype=_dtype_of(args))
+    if args.precond == "lorasc":
+        kwargs["eig_method"] = args.eig_method
+    else:
+        kwargs["eigs_kind"] = args.eigs_kind
+    solver = ECGSolver.build(a, opts=opts, precond=args.precond, **kwargs)
+    t0 = time.time()
+    x, info = solver.solve(b)
+    return _report(args, a, b, x, info, time.time() - t0)
+
+
+def bench_main(argv=None):
+    """Benchmark wrapper (see bench.py at the repo root)."""
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(ecg_main())
