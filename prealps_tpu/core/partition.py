@@ -19,11 +19,20 @@ reference's pinned METIS seed 42 for reproducible layouts.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as sp
 from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+
+def _use_native() -> bool:
+    if os.environ.get("PREALPS_TPU_NO_NATIVE"):
+        return False
+    from prealps_tpu import native
+
+    return native.available()
 
 
 def nsplit(n: int, k: int) -> np.ndarray:
@@ -160,8 +169,13 @@ def kway_partition(a: sp.spmatrix, k: int, refine_passes: int = 8) -> np.ndarray
     """Partition the graph of A into k parts; returns part id per vertex.
 
     Recursive bisection with near-even target sizes (works for any k, not just
-    powers of two). Deterministic.
+    powers of two). Deterministic. Dispatches to the native C++ implementation
+    (native/graph.cpp) when built; this Python version is the fallback.
     """
+    if _use_native():
+        from prealps_tpu import native
+
+        return native.kway_partition(a, k, refine_passes)
     adj = _adjacency(a)
     n = adj.shape[0]
     part = np.zeros(n, dtype=np.int64)
@@ -248,6 +262,12 @@ def block_arrow_structure(a: sp.spmatrix, k: int, refine_passes: int = 8) -> Blo
     n = adj.shape[0]
     part = kway_partition(a, k, refine_passes)
 
+    if _use_native():
+        from prealps_tpu import native
+
+        in_sep = native.vertex_separator(a, part)
+        return _finish_block_arrow(part, in_sep, k)
+
     # collect cut edges (u < v with part[u] != part[v])
     coo = sp.triu(adj, k=1).tocoo()
     cut_mask = part[coo.row] != part[coo.col]
@@ -271,11 +291,15 @@ def block_arrow_structure(a: sp.spmatrix, k: int, refine_passes: int = 8) -> Blo
             np.subtract.at(cross_deg, others, 1)
             cross_deg[v] = 0
             alive &= ~hit
-    # any remaining edges (shouldn't happen) -> both endpoints to separator
-    # interiors keep their part id; separator gets -1
+    return _finish_block_arrow(part, in_sep, k)
+
+
+def _finish_block_arrow(part: np.ndarray, in_sep: np.ndarray, k: int) -> BlockArrowStruct:
+    """Assemble the leaves-first/separator-last permutation from a partition
+    and a separator marking."""
+    n = part.shape[0]
     part_out = part.copy()
     part_out[in_sep] = -1
-
     interiors = np.flatnonzero(~in_sep)
     sep = np.flatnonzero(in_sep)
     perm_int = interiors[np.argsort(part[interiors], kind="stable")]
