@@ -150,3 +150,27 @@ def pad_to_padded(layout: RowLayout, x: np.ndarray) -> np.ndarray:
 def unpad_from_padded(layout: RowLayout, xp: np.ndarray) -> np.ndarray:
     """Padded permuted vector/block -> original global ordering."""
     return np.asarray(xp)[layout.inv_perm]
+
+
+def contiguous_row_layout(n: int, nshards: int, row_multiple: int = 8) -> RowLayout:
+    """Identity-ordered contiguous row partition with ALL padding at the
+    global tail (last shard). Preserves stencil structure (ops/formats.py
+    StencilBsrMatrix): no permutation, so neighbor offsets are unchanged.
+    The analog of the reference's pre-partitioned path
+    (reference: utils/operator.c:271 preAlps_OperatorBuildNoPerm)."""
+    rps = -(-n // nshards)
+    rps = -(-rps // row_multiple) * row_multiple
+    n_pad = rps * nshards
+    part = np.minimum(np.arange(n) // rps, nshards - 1).astype(np.int64)
+    counts = np.bincount(part, minlength=nshards)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    perm = np.full(n_pad, -1, dtype=np.int64)
+    perm[:n] = np.arange(n)
+    inv = np.arange(n, dtype=np.int64)
+    deps = tuple(
+        tuple(q for q in range(nshards) if q != s) for s in range(nshards)
+    )
+    return RowLayout(
+        n=n, n_pad=n_pad, nshards=nshards, rows_per_shard=rps,
+        perm=perm, inv_perm=inv, offsets=offsets, deps=deps,
+    )

@@ -132,3 +132,73 @@ def csr_to_block_ell(
     blocks[rb, slot, coo.row % bm, coo.col % bk] = coo.data
 
     return BlockEllMatrix(jnp.asarray(blocks), jnp.asarray(blkcols), (n_pad, ncols_pad))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StencilBsrMatrix:
+    """Stencil block-sparse format for structured-grid FEM/FD operators.
+
+    Rows are grouped into br-sized dof blocks (br = dofs per node, e.g. 3 for
+    3-D elasticity, 1 for scalar Poisson). When every nonzero block lies at a
+    node offset from a small constant set O (true for lexicographically
+    ordered box-grid discretisations — the reference's elasticity3d/Ela400
+    benchmark family), the matrix is stored as dense (nrb, |O|, br, br)
+    blocks with per-slot SHIFTS instead of gathered columns:
+
+        y₍ᵣ₎ = Σ_s B[r, s] · x₍ᵣ₊ₒ[ₛ]₎
+
+    SpMM then reads each operand exactly once from HBM — no gather, fill
+    ratio ≈ 1 (boundary blocks are zero). This is the speed-of-light format
+    for the reference's own benchmark matrices; irregular matrices fall back
+    to BlockEllMatrix / EllMatrix.
+    """
+
+    blocks: jax.Array    # (nrb, S, br, br)
+    offsets: tuple       # static tuple of S node offsets (python ints)
+    shape: tuple         # (n, n) with n = nrb*br
+
+    def tree_flatten(self):
+        return (self.blocks,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def br(self):
+        return self.blocks.shape[2]
+
+    @property
+    def fill_ratio(self):
+        nnz = np.count_nonzero(np.asarray(self.blocks))
+        return self.blocks.size / max(nnz, 1)
+
+
+def csr_to_stencil_bsr(
+    a: sp.spmatrix, br: int, max_offsets: int = 64, dtype=None
+) -> StencilBsrMatrix | None:
+    """Convert to stencil-BSR if the block pattern is a (small) constant
+    stencil; returns None otherwise. Requires br | a.shape[0]."""
+    a = sp.csr_matrix(a)
+    n = a.shape[0]
+    if n % br or a.shape[1] != n:
+        return None
+    nrb = n // br
+    coo = a.tocoo()
+    rb = coo.row // br
+    cb = coo.col // br
+    delta = cb - rb
+    offs = np.unique(delta)
+    if offs.size > max_offsets:
+        return None
+    s_max = offs.size
+    slot_of = {int(d): i for i, d in enumerate(offs)}
+    slot = np.searchsorted(offs, delta)
+    blocks = np.zeros((nrb, s_max, br, br), dtype=dtype or a.dtype)
+    blocks[rb, slot, coo.row % br, coo.col % br] = coo.data
+    return StencilBsrMatrix(
+        blocks=jnp.asarray(blocks),
+        offsets=tuple(int(d) for d in offs),
+        shape=(n, n),
+    )

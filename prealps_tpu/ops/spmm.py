@@ -129,3 +129,24 @@ def spmm(a, x: jax.Array) -> jax.Array:
     if isinstance(a, BlockEllMatrix):
         return block_ell_spmm(a, x)
     return a @ x
+
+
+def stencil_bsr_spmm(a, x: jax.Array) -> jax.Array:
+    """y = A @ x for StencilBsrMatrix. x: (n, t) -> y: (n, t).
+
+    One shifted read of x per stencil offset; boundary wrap-around from roll
+    multiplies zero blocks, so the result is exact. Reads each operand ~once
+    from HBM — the speed-of-light formulation for structured-grid operators.
+    """
+    nrb, s_max, br, _ = a.blocks.shape
+    t = x.shape[1]
+    x3 = x.reshape(nrb, br, t)
+    y = jnp.zeros((nrb, br, t), dtype=x.dtype)
+    for s, off in enumerate(a.offsets):
+        xs = jnp.roll(x3, -off, axis=0) if off else x3
+        y = y + jnp.einsum(
+            "rmk,rkt->rmt", a.blocks[:, s], xs,
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return y.reshape(nrb * br, t)

@@ -66,7 +66,10 @@ def build_sharded_block_jacobi(
     factors = jnp.concatenate([p.factors for p in parts], axis=0)
     gather_idx = jnp.concatenate([p.gather_idx for p in parts], axis=0)
     inv_perm = jnp.concatenate([p.inv_perm for p in parts], axis=0)
-    return BlockJacobi(factors=factors, gather_idx=gather_idx, inv_perm=inv_perm)
+    return BlockJacobi(
+        factors=factors, gather_idx=gather_idx, inv_perm=inv_perm,
+        mode=parts[0].mode,
+    )
 
 
 @dataclass
@@ -101,7 +104,8 @@ class DistributedECG:
         block_size: Optional[int] = None,
         dtype=None,
         layout: Optional[RowLayout] = None,
-        fmt: str = "ell",            # ell | block_ell (Pallas) | block_ell_xla
+        fmt: str = "ell",            # ell | stencil | block_ell (Pallas) | block_ell_xla
+        br: int = 3,                 # dof-block size for fmt="stencil"
         rb_per_prog: int = 16,
         refine: Optional[bool] = None,
         inner_tol: float = 1e-3,
@@ -121,16 +125,41 @@ class DistributedECG:
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
         if layout is None:
-            layout = build_row_layout(a, nshards)
+            if fmt == "stencil":
+                import math
+
+                from prealps_tpu.core.layout import contiguous_row_layout
+
+                layout = contiguous_row_layout(
+                    a.shape[0], nshards, row_multiple=math.lcm(8, br)
+                )
+            else:
+                layout = build_row_layout(a, nshards)
         a_pad = permute_and_pad_matrix(a, layout)
 
         n_pad = layout.n_pad
         mpl = layout.rows_per_shard
 
-        from prealps_tpu.ops.formats import BlockEllMatrix, csr_to_block_ell
+        from prealps_tpu.ops.formats import (
+            BlockEllMatrix,
+            StencilBsrMatrix,
+            csr_to_block_ell,
+            csr_to_stencil_bsr,
+        )
         from prealps_tpu.ops.spmm import block_ell_spmm, block_ell_spmm_pallas
 
-        if fmt == "ell":
+        if fmt == "stencil":
+            sbell = csr_to_stencil_bsr(a_pad, br=br, dtype=dtype)
+            if sbell is None:
+                raise ValueError(
+                    "matrix is not stencil-structured; use fmt='ell' or 'block_ell'"
+                )
+            stencil_offsets = sbell.offsets
+            nrb_tot = layout.n_pad // br
+            nrb_loc = layout.rows_per_shard // br
+            mat_operands = (sbell.blocks,)
+            mat_specs = (P(AXIS, None, None, None),)
+        elif fmt == "ell":
             ell = csr_to_ell(a_pad, dtype=dtype)
             mat_operands = (ell.vals, ell.cols)
             mat_specs = (P(AXIS, None), P(AXIS, None))
@@ -144,12 +173,14 @@ class DistributedECG:
         else:
             raise ValueError(f"unknown fmt {fmt!r}")
 
+        bj_mode = "cholesky"
         if precond in ("block_jacobi", "bj"):
             if block_size is not None:
                 nblocks_per_shard = max(1, -(-mpl // block_size))
             bj = build_sharded_block_jacobi(a_pad, layout, nblocks_per_shard, dtype=dtype)
             bj_operands = (bj.factors, bj.gather_idx, bj.inv_perm)
             bj_specs = (P(AXIS, None, None), P(AXIS), P(AXIS))
+            bj_mode = bj.mode
         elif precond in ("none", "identity", "noprec"):
             bj_operands = None
             bj_specs = None
@@ -161,6 +192,24 @@ class DistributedECG:
                 # round-1 halo strategy: gather the whole X panel over ICI,
                 # then local SpMM on this shard's rows
                 x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
+                if fmt == "stencil":
+                    (blocks_loc,) = mat_ops
+                    t_cols = x_full.shape[1]
+                    x3 = x_full.reshape(nrb_tot, br, t_cols)
+                    base = (jax.lax.axis_index(AXIS) * nrb_loc).astype(jnp.int32)
+                    zero = jnp.int32(0)
+                    y = jnp.zeros((nrb_loc, br, t_cols), x_full.dtype)
+                    for s_i, off in enumerate(stencil_offsets):
+                        xs = jnp.roll(x3, -off, axis=0) if off else x3
+                        xs = jax.lax.dynamic_slice(
+                            xs, (base, zero, zero), (nrb_loc, br, t_cols)
+                        )
+                        y = y + jnp.einsum(
+                            "rmk,rkt->rmt", blocks_loc[:, s_i], xs,
+                            preferred_element_type=x_full.dtype,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                    return y.reshape(nrb_loc * br, t_cols)
                 if fmt == "ell":
                     vals_loc, cols_loc = mat_ops
                     gathered = x_full[cols_loc]  # (m_loc, L, t)
@@ -180,7 +229,7 @@ class DistributedECG:
                 return block_ell_spmm(local, x_full)
 
             if bj_ops is not None:
-                m_apply = BlockJacobi(*bj_ops).apply
+                m_apply = BlockJacobi(*bj_ops, mode=bj_mode).apply
             else:
                 m_apply = None
 

@@ -86,3 +86,31 @@ class TestBlockEllDistributed:
         )
         x, info = s.solve(b)
         assert _relres(poisson_small, x, b) < 2e-5
+
+
+class TestStencilDistributed:
+    def test_stencil_matches_ell(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s_st = DistributedECG.build(ela_small, nshards=4, opts=opts, fmt="stencil", br=3)
+        s_el = DistributedECG.build(
+            ela_small, nshards=4, opts=opts, fmt="ell", layout=s_st.layout
+        )
+        x1, i1 = s_st.solve(ela_b)
+        x2, i2 = s_el.solve(ela_b)
+        assert i1["iters"] == i2["iters"]
+        np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)
+
+    def test_stencil_single_shard(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s = DistributedECG.build(ela_small, nshards=1, opts=opts, fmt="stencil", br=3)
+        x, info = s.solve(ela_b)
+        assert _relres(ela_small, x, ela_b) < 2e-5
+
+    def test_stencil_poisson_br1(self, poisson_small, rng):
+        b = rng.standard_normal(poisson_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=500)
+        s = DistributedECG.build(
+            poisson_small, nshards=8, opts=opts, fmt="stencil", br=1, scale=False
+        )
+        x, info = s.solve(b)
+        assert _relres(poisson_small, x, b) < 2e-5
