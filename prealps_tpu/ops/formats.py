@@ -202,3 +202,43 @@ def csr_to_stencil_bsr(
         offsets=tuple(int(d) for d in offs),
         shape=(n, n),
     )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StencilBsrTMatrix:
+    """Lane-major (transposed) stencil format: blocks_t[s, m, k, r] over node
+    index r in the MINOR (lane) dimension.
+
+    TPU arrays put the last axis in 128-wide vector lanes; an (n, t) panel
+    with t≈12 uses <10% of each lane tile. Keeping the long node axis minor
+    makes every elementwise FMA of the stencil SpMM fully lane-utilised.
+    SpMM works on x viewed as (t, br, nrb) and unrolls the br×br block
+    product into br² broadcast FMAs per stencil offset.
+    """
+
+    blocks_t: jax.Array  # (S, br, br, nrb)
+    offsets: tuple       # static S node offsets
+    shape: tuple         # (n, n), n = nrb*br
+
+    def tree_flatten(self):
+        return (self.blocks_t,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def br(self):
+        return self.blocks_t.shape[1]
+
+
+def csr_to_stencil_bsr_t(
+    a: sp.spmatrix, br: int, max_offsets: int = 64, dtype=None
+) -> StencilBsrTMatrix | None:
+    """Lane-major variant of csr_to_stencil_bsr."""
+    base = csr_to_stencil_bsr(a, br=br, max_offsets=max_offsets, dtype=dtype)
+    if base is None:
+        return None
+    blocks_t = jnp.transpose(base.blocks, (1, 2, 3, 0))  # (S, br, br, nrb)
+    return StencilBsrTMatrix(blocks_t=blocks_t, offsets=base.offsets, shape=base.shape)

@@ -150,3 +150,36 @@ def stencil_bsr_spmm(a, x: jax.Array) -> jax.Array:
             precision=jax.lax.Precision.HIGHEST,
         )
     return y.reshape(nrb * br, t)
+
+
+def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
+    """Lane-major stencil SpMM: xt (t, br, nrb) -> yt (t, br, nrb).
+
+    All arrays keep the long node axis minor (TPU lanes); the br×br block
+    product is unrolled into br² broadcast FMAs per stencil offset — pure
+    VPU work at full lane utilisation, reading each operand once.
+    """
+    s_max, br, _, nrb = a.blocks_t.shape
+    t = xt.shape[0]
+    y = jnp.zeros((t, br, nrb), dtype=xt.dtype)
+    for s, off in enumerate(a.offsets):
+        xs = jnp.roll(xt, -off, axis=2) if off else xt
+        for m in range(br):
+            acc = None
+            for k in range(br):
+                term = a.blocks_t[s, m, k][None, :] * xs[:, k, :]
+                acc = term if acc is None else acc + term
+            y = y.at[:, m, :].add(acc)
+    return y
+
+
+def panel_to_lane_major(x: jax.Array, br: int) -> jax.Array:
+    """(n, t) -> (t, br, nrb)"""
+    n, t = x.shape
+    return x.reshape(n // br, br, t).transpose(2, 1, 0)
+
+
+def panel_from_lane_major(xt: jax.Array) -> jax.Array:
+    """(t, br, nrb) -> (n, t)"""
+    t, br, nrb = xt.shape
+    return xt.transpose(2, 1, 0).reshape(nrb * br, t)

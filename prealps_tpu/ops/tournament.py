@@ -1,0 +1,91 @@
+"""Tournament pivoting: communication-avoiding column selection, TP-QR, TP-CUR.
+
+(reference: utils/iterativeKernels/tournamentPivoting{,QR,CUR}.c — deliverable
+D4.1 kernels; binary reduction tree where each node runs a strong
+rank-revealing QR on the candidate columns and passes the k winners up.)
+
+TPU-native redesign: the local rank-revealing step is QR with column
+pivoting — implemented here as a jittable greedy pivoted CholQR on the
+candidate Gram matrix (k steps of diagonal-pivoted Cholesky ≡ column-norm
+greedy pivoting, the same selection rule QRCP uses). The tree combine is a
+pair-wise union of winners, so log2(P) rounds select k columns from the whole
+matrix. Dense panels throughout — the candidate sets are k..2k columns.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prealps_tpu.ops.blockops import HIGHEST, pivoted_cholesky
+
+
+def qrcp_select(panel: jax.Array, k: int) -> jax.Array:
+    """Indices of k rank-revealing columns of `panel` (m, c), c small.
+
+    Uses diagonal-pivoted Cholesky of the Gram matrix — mathematically the
+    same pivot order as Householder QRCP (both greedily maximise the residual
+    column norm).
+    """
+    g = jnp.einsum("mc,md->cd", panel, panel, precision=HIGHEST)
+    _, piv, _ = pivoted_cholesky(g, jnp.asarray(-1.0, g.dtype))
+    return piv[:k]
+
+
+def tournament_select(a: jax.Array, k: int, nblocks: int = 8) -> jax.Array:
+    """Select k columns of a (m, n) by tournament pivoting. Returns global
+    column indices (k,), deterministic."""
+    m, n = a.shape
+    nblocks = int(min(nblocks, max(1, n // max(k, 1))))
+    cb = -(-n // nblocks)
+    pad = nblocks * cb - n
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((m, pad), a.dtype)], axis=1)
+    # leaf round: winners per block
+    cols = jnp.arange(nblocks * cb).reshape(nblocks, cb)
+    winners = []
+    for b in range(nblocks):
+        sel = qrcp_select(a[:, b * cb:(b + 1) * cb], min(k, cb))
+        winners.append(cols[b, sel])
+    winners = [w for w in winners]
+    # tree rounds
+    while len(winners) > 1:
+        nxt = []
+        for i in range(0, len(winners) - 1, 2):
+            cand = jnp.concatenate([winners[i], winners[i + 1]])
+            sel = qrcp_select(a[:, cand], min(k, cand.shape[0]))
+            nxt.append(cand[sel])
+        if len(winners) % 2 == 1:
+            nxt.append(winners[-1])
+        winners = nxt
+    sel = winners[0][:k]
+    return sel
+
+
+def tp_qr(a: jax.Array, k: int, nblocks: int = 8):
+    """Tournament-pivoting QR: A ≈ Q R[:, perm] with k selected columns
+    leading. Returns (q, r, cols) where q (m, k), r (k, n), cols (k,).
+
+    (reference: utils/iterativeKernels/tournamentPivotingQR.c)"""
+    from prealps_tpu.ops.tsqr import tsqr
+
+    cols = tournament_select(a, k, nblocks)
+    q, r_kk = tsqr(a[:, cols], nblocks=nblocks)
+    r = jnp.einsum("mk,mn->kn", q, a, precision=HIGHEST)
+    return q, r, cols
+
+
+def tp_cur(a: jax.Array, k: int, nblocks: int = 8):
+    """Tournament-pivoting CUR: A ≈ C U R with C = k columns, R = k rows of A.
+
+    (reference: utils/iterativeKernels/tournamentPivotingCUR.c)"""
+    cols = tournament_select(a, k, nblocks)
+    rows = tournament_select(a.T, k, nblocks)
+    c = a[:, cols]
+    r = a[rows, :]
+    # U = C⁺ A R⁺ via least squares through the selected cross block
+    u = jnp.linalg.pinv(c) @ a @ jnp.linalg.pinv(r)
+    return c, u, r, cols, rows

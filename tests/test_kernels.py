@@ -1,0 +1,166 @@
+"""Tests for the standalone kernel tier: TSQR, tournament pivoting, spMSV,
+Lanczos, pivoted Cholesky (reference: utils/iterativeKernels + eigsolver)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.sparse as sp
+
+from prealps_tpu.ops.blockops import pivoted_cholesky
+from prealps_tpu.ops.lanczos import lanczos_gen
+from prealps_tpu.ops.spmsv import block_support_graph, propagate_support, spmsv
+from prealps_tpu.ops.tournament import tp_cur, tp_qr, tournament_select
+from prealps_tpu.ops.tsqr import tsqr, tsqr_r
+
+
+class TestTSQR:
+    def test_r_matches_numpy(self, rng):
+        x = rng.standard_normal((500, 8))
+        r = np.asarray(tsqr_r(jnp.asarray(x)))
+        r_np = np.linalg.qr(x, mode="r")
+        s = np.sign(np.diag(r_np))
+        np.testing.assert_allclose(r, r_np * s[:, None], rtol=1e-8, atol=1e-10)
+
+    def test_q_orthonormal(self, rng):
+        x = rng.standard_normal((500, 8))
+        q, r = tsqr(jnp.asarray(x))
+        q = np.asarray(q)
+        np.testing.assert_allclose(q.T @ q, np.eye(8), atol=1e-10)
+        np.testing.assert_allclose(q @ np.asarray(r), x, rtol=1e-8, atol=1e-10)
+
+    def test_distributed_r(self, rng):
+        from jax.sharding import PartitionSpec as P
+
+        from prealps_tpu.ops.tsqr import tsqr_r_distributed
+        from prealps_tpu.parallel.mesh import make_mesh
+
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        mesh = make_mesh(8)
+        x = rng.standard_normal((512, 4))
+        fn = jax.jit(
+            shard_map(
+                lambda xl: tsqr_r_distributed(xl, "shards"),
+                mesh=mesh, in_specs=P("shards"), out_specs=P(),
+                check_vma=False,
+            )
+        )
+        r = np.asarray(fn(jnp.asarray(x)))
+        r_np = np.linalg.qr(x, mode="r")
+        s = np.sign(np.diag(r_np))
+        np.testing.assert_allclose(r, r_np * s[:, None], rtol=1e-8, atol=1e-8)
+
+
+class TestPivotedCholesky:
+    def test_matches_scipy_pstrf_rank(self, rng):
+        # rank-deficient SPD
+        b = rng.standard_normal((10, 6))
+        c = b @ b.T  # rank 6
+        u, piv, rank = pivoted_cholesky(jnp.asarray(c), jnp.asarray(1e-10))
+        assert int(rank) == 6
+        # reconstruction on the selected block
+        cp = np.asarray(c)[np.asarray(piv)][:, np.asarray(piv)]
+        u_np = np.asarray(u)
+        np.testing.assert_allclose(u_np.T @ u_np, cp, rtol=1e-8, atol=1e-8)
+
+
+class TestTournament:
+    def test_select_recovers_important_columns(self, rng):
+        # matrix with k dominant columns
+        m, n, k = 200, 40, 5
+        basis = rng.standard_normal((m, k))
+        a = rng.standard_normal((m, n)) * 0.01
+        strong = rng.choice(n, size=k, replace=False)
+        a[:, strong] += basis * 10
+        sel = np.asarray(tournament_select(jnp.asarray(a), k))
+        assert set(sel.tolist()) == set(strong.tolist())
+
+    def test_tp_qr_approximation(self, rng):
+        m, n, k = 300, 60, 10
+        u = rng.standard_normal((m, k))
+        v = rng.standard_normal((k, n))
+        a = u @ v + 1e-6 * rng.standard_normal((m, n))
+        q, r, cols = tp_qr(jnp.asarray(a), k)
+        err = np.linalg.norm(np.asarray(q) @ np.asarray(r) - a) / np.linalg.norm(a)
+        assert err < 1e-4
+
+    def test_tp_cur_approximation(self, rng):
+        m, n, k = 200, 80, 8
+        a = rng.standard_normal((m, k)) @ rng.standard_normal((k, n))
+        c, u, r, cols, rows = tp_cur(jnp.asarray(a), k)
+        recon = np.asarray(c) @ np.asarray(u) @ np.asarray(r)
+        err = np.linalg.norm(recon - a) / np.linalg.norm(a)
+        assert err < 1e-6
+
+
+class TestLanczos:
+    def test_standard_eigs(self, rng):
+        # S u = lambda u (B = I)
+        n = 80
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam_true = np.linspace(0.01, 1.0, n)
+        s = (q * lam_true) @ q.T
+
+        s_j = jnp.asarray(s)
+        res = lanczos_gen(
+            lambda v: s_j @ v, lambda v: v, n, ncv=40, dtype=jnp.float64
+        )
+        lam = np.asarray(res.eigvalues)
+        # extreme eigenvalues converge first
+        assert abs(lam[0] - lam_true[0]) < 1e-6
+        assert abs(lam[-1] - lam_true[-1]) < 1e-6
+
+    def test_generalized_eigs(self, rng):
+        n = 60
+        a_half = rng.standard_normal((n, n))
+        s = a_half @ a_half.T + n * np.eye(n)
+        b_half = rng.standard_normal((n, n))
+        b = b_half @ b_half.T + n * np.eye(n)
+        lam_true = scipy.linalg.eigh(s, b, eigvals_only=True)
+
+        s_j, b_j = jnp.asarray(s), jnp.asarray(np.linalg.inv(b) @ s)
+        b_mat = jnp.asarray(b)
+        res = lanczos_gen(
+            lambda v: b_j @ v, lambda v: b_mat @ v, n, ncv=40, dtype=jnp.float64
+        )
+        lam = np.asarray(res.eigvalues)
+        assert abs(lam[0] - lam_true[0]) < 1e-5
+        assert abs(lam[-1] - lam_true[-1]) < 1e-5
+
+
+class TestSpMSV:
+    def test_support_propagation(self, poisson_small):
+        from prealps_tpu.core.partition import nsplit
+
+        offsets = nsplit(poisson_small.shape[0], 16)
+        g = block_support_graph(poisson_small, offsets)
+        s0 = np.zeros(16, dtype=bool)
+        s0[3] = True
+        s1 = propagate_support(g, s0)
+        assert s1[3]
+        assert s1.sum() > 1  # neighbors activated
+        s2 = propagate_support(g, s0, steps=4)
+        assert s2.sum() >= s1.sum()
+
+    def test_masked_product_matches(self, poisson_small, rng):
+        from prealps_tpu.core.partition import nsplit
+        from prealps_tpu.ops.formats import csr_to_ell
+        from prealps_tpu.ops.spmm import ell_spmm
+
+        a = poisson_small
+        offsets = nsplit(a.shape[0], 16)
+        ae = csr_to_ell(a)
+        b = rng.standard_normal((a.shape[0], 3))
+        mask = np.zeros(16)
+        mask[5] = 1
+        c = spmsv(lambda x: ell_spmm(ae, x), jnp.asarray(b), jnp.asarray(mask), offsets)
+        b_masked = b.copy()
+        for i in range(16):
+            if not mask[i]:
+                b_masked[offsets[i]: offsets[i + 1]] = 0
+        np.testing.assert_allclose(np.asarray(c), a @ b_masked, rtol=1e-10, atol=1e-12)
