@@ -297,6 +297,72 @@ _ITER_FNS = {
 }
 
 
+def ecg_init(
+    a_apply, m_apply, b: jax.Array, opts: ECGOptions,
+    axis_name=None, split_assign=None,
+):
+    """Initial solver state + normb (the ECGInitialize/Reset analog,
+    reference: ecg.c:98-199). State is a plain pytree — snapshot/restore it
+    freely (checkpoint/resume, see solvers/checkpoint.py)."""
+    t = opts.t
+    dtype = b.dtype
+    m = b.shape[0]
+    normb = jnp.sqrt(psum(jnp.vdot(b, b), axis_name))
+    r0 = split_rhs(b, t, split_assign)
+    p0 = m_apply(r0)
+    ap0 = a_apply(p0)
+    z0 = m_apply(ap0) if opts.variant == "odir_fused" else jnp.zeros_like(p0)
+    zeros = jnp.zeros((m, t), dtype)
+    history = jnp.full((opts.maxiter,), -1.0, dtype)
+    state0 = _State(
+        x_blk=zeros, r=r0, p=p0, ap=ap0, p_prev=zeros, ap_prev=zeros, z=z0,
+        mask=jnp.ones((t,), dtype), it=jnp.int32(0),
+        res=normb.astype(dtype), breakdown=jnp.bool_(False), history=history,
+    )
+    return state0, normb
+
+
+def ecg_run(
+    a_apply, m_apply, state: "_State", normb: jax.Array, opts: ECGOptions,
+    axis_name=None, max_steps: Optional[int] = None,
+) -> "_State":
+    """Run the iteration loop from `state` until convergence, maxiter, or
+    (optionally) max_steps more iterations — the chunked-execution primitive
+    behind checkpoint/resume."""
+    iter_fn = _ITER_FNS[opts.variant]
+    dtype = state.r.dtype
+    t = opts.t
+    red_tol = (opts.tol * normb / jnp.sqrt(jnp.asarray(float(t), dtype))).astype(dtype)
+    tol_abs = (opts.tol * normb).astype(dtype)
+    it_limit = opts.maxiter if max_steps is None else None
+    it_stop = state.it + max_steps if max_steps is not None else None
+
+    def cond(s: _State):
+        bs = jnp.sum(s.mask)
+        ok = (s.res > tol_abs) & (s.it < opts.maxiter) & (bs > 0) & (~s.breakdown)
+        if it_stop is not None:
+            ok = ok & (s.it < it_stop)
+        return ok
+
+    def body(s: _State):
+        return iter_fn(s, a_apply, m_apply, axis_name, opts, normb, red_tol)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def ecg_finalize(state: "_State", normb: jax.Array) -> ECGResult:
+    """Sum the solution columns (reference: ecg.c:668-677)."""
+    return ECGResult(
+        x=jnp.sum(state.x_blk, axis=1),
+        iters=state.it,
+        res=state.res,
+        normb=normb,
+        bs=jnp.sum(state.mask).astype(jnp.int32),
+        breakdown=state.breakdown,
+        history=state.history,
+    )
+
+
 def ecg_solve(
     a_apply: Callable[[jax.Array], jax.Array],
     m_apply: Optional[Callable[[jax.Array], jax.Array]],
@@ -315,54 +381,10 @@ def ecg_solve(
     """
     if m_apply is None:
         m_apply = lambda v: v
-    t = opts.t
-    dtype = b.dtype
-    m = b.shape[0]
-    variant = opts.variant
-    if variant not in _ITER_FNS:
-        raise ValueError(f"unknown ECG variant {variant!r}")
-    iter_fn = _ITER_FNS[variant]
-
+    if opts.variant not in _ITER_FNS:
+        raise ValueError(f"unknown ECG variant {opts.variant!r}")
     if x0 is not None:
         raise NotImplementedError("pass b - A x0 and add x0 to the result instead")
-    normb = jnp.sqrt(psum(jnp.vdot(b, b), axis_name))
-    r0 = split_rhs(b, t, split_assign)
-
-    p0 = m_apply(r0)
-    ap0 = a_apply(p0)
-    z0 = m_apply(ap0) if variant == "odir_fused" else jnp.zeros_like(p0)
-    zeros = jnp.zeros((m, t), dtype)
-    history = jnp.full((opts.maxiter,), -1.0, dtype)
-
-    state0 = _State(
-        x_blk=zeros, r=r0, p=p0, ap=ap0, p_prev=zeros, ap_prev=zeros, z=z0,
-        mask=jnp.ones((t,), dtype), it=jnp.int32(0),
-        res=normb.astype(dtype), breakdown=jnp.bool_(False), history=history,
-    )
-
-    red_tol = (opts.tol * normb / jnp.sqrt(jnp.asarray(float(t), dtype))).astype(dtype)
-    tol_abs = (opts.tol * normb).astype(dtype)
-
-    def cond(state: _State):
-        bs = jnp.sum(state.mask)
-        return (
-            (state.res > tol_abs)
-            & (state.it < opts.maxiter)
-            & (bs > 0)
-            & (~state.breakdown)
-        )
-
-    def body(state: _State):
-        return iter_fn(state, a_apply, m_apply, axis_name, opts, normb, red_tol)
-
-    final = jax.lax.while_loop(cond, body, state0)
-    x = jnp.sum(final.x_blk, axis=1)  # (reference: ecg.c:668-677 sum columns)
-    return ECGResult(
-        x=x,
-        iters=final.it,
-        res=final.res,
-        normb=normb,
-        bs=jnp.sum(final.mask).astype(jnp.int32),
-        breakdown=final.breakdown,
-        history=final.history,
-    )
+    state0, normb = ecg_init(a_apply, m_apply, b, opts, axis_name, split_assign)
+    final = ecg_run(a_apply, m_apply, state0, normb, opts, axis_name)
+    return ecg_finalize(final, normb)

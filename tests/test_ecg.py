@@ -146,3 +146,66 @@ class TestAdaptive:
         res = _solve(a, b, opts)
         assert _relres(a, res.x, b) < 5e-8
         assert int(res.bs) < 8, "expected dynamic reduction to trigger"
+
+
+class TestCheckpoint:
+    def test_checkpoint_resume_matches_straight_solve(self, ela_problem, tmp_path):
+        import os
+
+        from prealps_tpu.ops.formats import csr_to_ell
+        from prealps_tpu.ops.spmm import ell_spmm
+        from prealps_tpu.solvers.checkpoint import ecg_solve_checkpointed
+
+        a, b = ela_problem
+        ae = csr_to_ell(a)
+        a_apply = lambda x: ell_spmm(ae, x)
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused")
+        path = str(tmp_path / "state.npz")
+
+        res_plain = _solve(a, b, opts)
+        chunks = []
+        res_ck = ecg_solve_checkpointed(
+            a_apply, None, jnp.asarray(b), opts, path, every=25,
+            on_chunk=lambda it, r: chunks.append(it),
+        )
+        assert int(res_ck.iters) == int(res_plain.iters)
+        np.testing.assert_allclose(
+            np.asarray(res_ck.x), np.asarray(res_plain.x), rtol=1e-10, atol=1e-12
+        )
+        assert len(chunks) >= 2
+
+        # simulate crash + resume: wipe nothing, call again — resumes at the
+        # final snapshot and exits immediately
+        res_again = ecg_solve_checkpointed(
+            a_apply, None, jnp.asarray(b), opts, path, every=25
+        )
+        assert int(res_again.iters) == int(res_ck.iters)
+
+    def test_resume_from_partial_state(self, ela_problem, tmp_path):
+        from prealps_tpu.ops.formats import csr_to_ell
+        from prealps_tpu.ops.spmm import ell_spmm
+        from prealps_tpu.solvers.checkpoint import (
+            ecg_solve_checkpointed,
+            load_state,
+            save_state,
+        )
+        from prealps_tpu.solvers.ecg import ecg_init, ecg_run
+
+        a, b = ela_problem
+        ae = csr_to_ell(a)
+        a_apply = lambda x: ell_spmm(ae, x)
+        m_apply = lambda v: v
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused")
+        path = str(tmp_path / "partial.npz")
+
+        # run 30 iterations, snapshot, then resume in a "new process"
+        state, normb = ecg_init(a_apply, m_apply, jnp.asarray(b), opts)
+        state = ecg_run(a_apply, m_apply, state, normb, opts, max_steps=30)
+        assert int(state.it) == 30
+        save_state(path, state, normb)
+
+        state2, normb2 = load_state(path)
+        assert int(state2.it) == 30
+        res = ecg_solve_checkpointed(a_apply, None, jnp.asarray(b), opts, path, every=50)
+        res_plain = _solve(a, b, opts)
+        assert abs(int(res.iters) - int(res_plain.iters)) <= 1
