@@ -32,8 +32,9 @@ import pytest
 import scipy.sparse as sp
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Fresh deterministic generator per test (order-independent data)."""
     return np.random.default_rng(42)
 
 

@@ -18,8 +18,8 @@ def _relres(a, x, b):
 
 
 @pytest.fixture(scope="module")
-def ela_b(ela_small, rng):
-    return rng.standard_normal(ela_small.shape[0])
+def ela_b(ela_small):
+    return np.random.default_rng(42).standard_normal(ela_small.shape[0])
 
 
 class TestDistributedECG:

@@ -43,13 +43,13 @@ def _cg_iters(a, b, tol):
 
 
 @pytest.fixture(scope="module")
-def ela_problem(ela_small, rng):
+def ela_problem(ela_small):
     """Scaled heterogeneous elasticity problem — the reference's operator
     build always applies symmetric RAC scaling first (operator.c:38)."""
     from prealps_tpu.core.scaling import sym_rac_scaling
 
     a, d = sym_rac_scaling(ela_small)
-    b = rng.standard_normal(a.shape[0])
+    b = np.random.default_rng(42).standard_normal(a.shape[0])
     return a, b
 
 

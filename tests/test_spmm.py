@@ -17,7 +17,8 @@ def _random_csr(rng, n, density=0.05):
 
 
 @pytest.fixture(scope="module")
-def problem(rng):
+def problem():
+    rng = np.random.default_rng(42)
     a = _random_csr(rng, 200)
     x = rng.standard_normal((200, 4))
     return a, x
