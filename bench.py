@@ -32,7 +32,9 @@ def main():
     tol = float(os.environ.get("PREALPS_BENCH_TOL", "1e-5"))
     maxiter = int(os.environ.get("PREALPS_BENCH_MAXITER", "3000"))
     block_size = int(os.environ.get("PREALPS_BENCH_BJ", "1024"))
-    fmt = os.environ.get("PREALPS_BENCH_FMT", "block_ell" if on_tpu else "ell")
+    fmt = os.environ.get("PREALPS_BENCH_FMT", "stencil")
+    precond = os.environ.get("PREALPS_BENCH_PRECOND", "chebyshev")
+    cheb_degree = int(os.environ.get("PREALPS_BENCH_CHEB_DEG", "8"))
     dtype = np.float32 if on_tpu else np.float64
 
     from prealps_tpu.core.generators import elasticity3d
@@ -48,10 +50,14 @@ def main():
     b = rng.standard_normal(n)
 
     t0 = time.time()
-    opts = ECGOptions(t=t, tol=tol, maxiter=maxiter, variant="odir_fused")
+    layout = "tbn" if fmt == "stencil" else "nt"
+    opts = ECGOptions(t=t, tol=tol, maxiter=maxiter, variant="odir_fused",
+                      layout=layout)
+    kwargs = dict(block_size=block_size) if precond in ("bj", "block_jacobi") else dict(
+        cheb_degree=cheb_degree)
     solver = DistributedECG.build(
-        a, nshards=1, opts=opts, precond="block_jacobi",
-        block_size=block_size, dtype=dtype, fmt=fmt,
+        a, nshards=1, opts=opts, precond=precond,
+        dtype=dtype, fmt=fmt, br=3, **kwargs,
     )
     build_t = time.time() - t0
 
@@ -82,6 +88,7 @@ def main():
         "relres": relres,
         "converged": bool(relres < 10 * tol),
         "fmt": fmt,
+        "precond": precond,
         "build_s": round(build_t, 2),
         "compile_s": round(warm_t - tts, 2),
         "gen_s": round(gen_t, 2),

@@ -109,6 +109,8 @@ class DistributedECG:
         rb_per_prog: int = 16,
         refine: Optional[bool] = None,
         inner_tol: float = 1e-3,
+        cheb_degree: int = 8,
+        cheb_kappa: float = 30.0,
     ) -> "DistributedECG":
         a = sp.csr_matrix(a)
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
@@ -148,6 +150,9 @@ class DistributedECG:
         )
         from prealps_tpu.ops.spmm import block_ell_spmm, block_ell_spmm_pallas
 
+        lane_major = opts.layout == "tbn"
+        if lane_major and fmt != "stencil":
+            raise ValueError("layout='tbn' currently requires fmt='stencil'")
         if fmt == "stencil":
             sbell = csr_to_stencil_bsr(a_pad, br=br, dtype=dtype)
             if sbell is None:
@@ -157,8 +162,13 @@ class DistributedECG:
             stencil_offsets = sbell.offsets
             nrb_tot = layout.n_pad // br
             nrb_loc = layout.rows_per_shard // br
-            mat_operands = (sbell.blocks,)
-            mat_specs = (P(AXIS, None, None, None),)
+            if lane_major:
+                blocks_t = jnp.transpose(sbell.blocks, (1, 2, 3, 0))
+                mat_operands = (blocks_t,)           # (S, br, br, nrb_tot)
+                mat_specs = (P(None, None, None, AXIS),)
+            else:
+                mat_operands = (sbell.blocks,)
+                mat_specs = (P(AXIS, None, None, None),)
         elif fmt == "ell":
             ell = csr_to_ell(a_pad, dtype=dtype)
             mat_operands = (ell.vals, ell.cols)
@@ -174,23 +184,67 @@ class DistributedECG:
             raise ValueError(f"unknown fmt {fmt!r}")
 
         bj_mode = "cholesky"
+        cheb_static = None
         if precond in ("block_jacobi", "bj"):
+            if lane_major:
+                raise ValueError("block_jacobi not yet supported with layout='tbn'; "
+                                 "use precond='chebyshev'")
             if block_size is not None:
                 nblocks_per_shard = max(1, -(-mpl // block_size))
             bj = build_sharded_block_jacobi(a_pad, layout, nblocks_per_shard, dtype=dtype)
             bj_operands = (bj.factors, bj.gather_idx, bj.inv_perm)
             bj_specs = (P(AXIS, None, None), P(AXIS), P(AXIS))
             bj_mode = bj.mode
+            precond_kind = "bj"
+        elif precond in ("chebyshev", "cheby"):
+            from prealps_tpu.precond.chebyshev import power_lam_max_host
+
+            diag = np.asarray(a_pad.diagonal(), dtype=np.float64)
+            lam_max = power_lam_max_host(a_pad) * 1.05
+            lam_min = lam_max / cheb_kappa
+            inv_diag = (1.0 / diag).astype(dtype)
+            if lane_major:
+                inv_panel = jnp.asarray(inv_diag.reshape(nrb_tot, br).T)  # (br, nrb)
+                bj_specs = (P(None, AXIS),)
+            else:
+                inv_panel = jnp.asarray(inv_diag)                         # (n_pad,)
+                bj_specs = (P(AXIS),)
+            bj_operands = (inv_panel,)
+            cheb_static = (float(lam_min), float(lam_max), int(cheb_degree))
+            precond_kind = "chebyshev"
         elif precond in ("none", "identity", "noprec"):
             bj_operands = None
             bj_specs = None
+            precond_kind = None
         else:
-            raise ValueError(f"DistributedECG supports block_jacobi/none, got {precond!r}")
+            raise ValueError(
+                f"DistributedECG supports block_jacobi/chebyshev/none, got {precond!r}"
+            )
 
         def local_solve(b_loc, mat_ops, bj_ops):
             def a_apply(x_loc):
                 # round-1 halo strategy: gather the whole X panel over ICI,
                 # then local SpMM on this shard's rows
+                if lane_major:
+                    # x_loc: (t, br, nrb_loc); node axis minor (TPU lanes)
+                    (blocks_t_loc,) = mat_ops   # (S, br, br, nrb_loc)
+                    x_full = jax.lax.all_gather(x_loc, AXIS, axis=2, tiled=True)
+                    t_dim = x_loc.shape[0]
+                    base = (jax.lax.axis_index(AXIS) * nrb_loc).astype(jnp.int32)
+                    zero = jnp.int32(0)
+                    y = jnp.zeros((t_dim, br, nrb_loc), x_loc.dtype)
+                    for s_i, off in enumerate(stencil_offsets):
+                        xs = jnp.roll(x_full, -off, axis=2) if off else x_full
+                        xs = jax.lax.dynamic_slice(
+                            xs, (zero, zero, base), (t_dim, br, nrb_loc)
+                        )
+                        for m_i in range(br):
+                            acc = None
+                            for k_i in range(br):
+                                term = blocks_t_loc[s_i, m_i, k_i][None, :] * xs[:, k_i, :]
+                                acc = term if acc is None else acc + term
+                            y = y.at[:, m_i, :].add(acc)
+                    return y
                 x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
                 if fmt == "stencil":
                     (blocks_loc,) = mat_ops
@@ -228,21 +282,40 @@ class DistributedECG:
                     )
                 return block_ell_spmm(local, x_full)
 
-            if bj_ops is not None:
+            if precond_kind == "bj":
                 m_apply = BlockJacobi(*bj_ops, mode=bj_mode).apply
+            elif precond_kind == "chebyshev":
+                from prealps_tpu.precond.chebyshev import cheby_recurrence
+
+                (inv_panel_loc,) = bj_ops
+                lam_min_s, lam_max_s, degree_s = cheb_static
+                d_inv = inv_panel_loc[None] if lane_major else inv_panel_loc[:, None]
+
+                def m_apply(rr):
+                    op = lambda v: d_inv * a_apply(v)
+                    return cheby_recurrence(
+                        op, d_inv * rr, degree_s, lam_min_s, lam_max_s
+                    )
             else:
                 m_apply = None
 
             # rhs split: contiguous global split into t chunks
             s_idx = jax.lax.axis_index(AXIS)
-            gpos = s_idx * mpl + jnp.arange(mpl)
-            assign = ((gpos * opts.t) // n_pad).astype(jnp.int32)
+            if lane_major:
+                r_idx = jnp.arange(nrb_loc)[None, :]
+                k_idx = jnp.arange(br)[:, None]
+                grow = (s_idx * nrb_loc + r_idx) * br + k_idx
+                assign = ((grow * opts.t) // n_pad).astype(jnp.int32)
+            else:
+                gpos = s_idx * mpl + jnp.arange(mpl)
+                assign = ((gpos * opts.t) // n_pad).astype(jnp.int32)
             return ecg_solve(a_apply, m_apply, b_loc, opts,
                              axis_name=AXIS, split_assign=assign)
 
-        in_specs = (P(AXIS), mat_specs, bj_specs)
+        b_spec = P(None, AXIS) if lane_major else P(AXIS)
+        in_specs = (b_spec, mat_specs, bj_specs)
         out_specs = jax.tree_util.tree_map(lambda _: P(), _result_spec_tree())
-        out_specs = out_specs._replace(x=P(AXIS))
+        out_specs = out_specs._replace(x=b_spec)
 
         fn = jax.jit(
             _shard_map(
@@ -254,18 +327,29 @@ class DistributedECG:
             )
         )
         operands = (mat_operands, bj_operands)
-        return cls(
+        obj = cls(
             layout=layout, opts=opts, mesh=mesh, scale_d=scale_d,
             _solve_fn=fn, _operands=operands,
             target_tol=target_tol, a_scaled=a if refine else None,
         )
+        obj._lane_major = lane_major
+        obj._br = br
+        return obj
 
     def _solve_scaled_once(self, b_eff: np.ndarray):
         """One device solve of the scaled/permuted system."""
         dtype = np.asarray(self._operands[0][0]).dtype
         b_pad = pad_to_padded(self.layout, b_eff.astype(dtype))
+        lane_major = getattr(self, "_lane_major", False)
+        if lane_major:
+            b_pad = np.ascontiguousarray(
+                b_pad.reshape(-1, self._br).T   # (br, nrb_tot)
+            )
         res = self._solve_fn(jnp.asarray(b_pad), *self._operands)
-        x = unpad_from_padded(self.layout, np.asarray(res.x))
+        x_np = np.asarray(res.x)
+        if lane_major:
+            x_np = np.ascontiguousarray(x_np.T).reshape(-1)
+        x = unpad_from_padded(self.layout, x_np)
         info = {
             "iters": int(res.iters),
             "res": float(res.res),

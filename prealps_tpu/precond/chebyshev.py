@@ -22,6 +22,47 @@ import jax
 import jax.numpy as jnp
 
 
+def cheby_recurrence(op, b, degree: int, lam_min, lam_max):
+    """x ≈ op⁻¹ b by `degree` steps of the Chebyshev iteration on the
+    spectrum [lam_min, lam_max] of `op` (standard three-term recurrence;
+    `degree` operator applications total). Layout-agnostic: works on any
+    panel shape as long as `op` and `b` agree."""
+    theta = (lam_max + lam_min) / 2.0
+    delta = (lam_max - lam_min) / 2.0
+    sigma1 = theta / delta
+    dvec = b / theta
+    x = dvec
+    if degree <= 1:
+        return x
+    res = b - op(x)
+    rho_prev = 1.0 / sigma1
+    for k in range(degree - 1):
+        if k > 0:
+            res = res - op(dvec)
+        rho = 1.0 / (2.0 * sigma1 - rho_prev)
+        dvec = rho * rho_prev * dvec + (2.0 * rho / delta) * res
+        x = x + dvec
+        rho_prev = rho
+    return x
+
+
+def power_lam_max_host(a, iters: int = 30) -> float:
+    """Host-side power iteration for lam_max(D⁻¹A) (scipy, setup time)."""
+    import numpy as _np
+    import scipy.sparse as _sp
+
+    a = _sp.csr_matrix(a)
+    d_inv = 1.0 / a.diagonal()
+    v = _np.ones(a.shape[0])
+    v /= _np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = d_inv * (a @ v)
+        lam = _np.linalg.norm(w)
+        v = w / lam
+    return float(lam)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Chebyshev:
@@ -46,25 +87,7 @@ class Chebyshev:
         def op(v):  # D⁻¹ A v — SPD under the D-inner product
             return d_inv * self.a_apply(v)
 
-        theta = (self.lam_max + self.lam_min) / 2.0
-        delta = (self.lam_max - self.lam_min) / 2.0
-        sigma1 = theta / delta
-
-        b = d_inv * r
-        dvec = b / theta
-        x = dvec
-        if self.degree <= 1:
-            return x
-        res = b - op(x)
-        rho_prev = 1.0 / sigma1
-        for k in range(self.degree - 1):
-            if k > 0:
-                res = res - op(dvec)
-            rho = 1.0 / (2.0 * sigma1 - rho_prev)
-            dvec = rho * rho_prev * dvec + (2.0 * rho / delta) * res
-            x = x + dvec
-            rho_prev = rho
-        return x  # `degree` A-applications total
+        return cheby_recurrence(op, d_inv * r, self.degree, self.lam_min, self.lam_max)
 
 
 def estimate_lam_max(a_apply, inv_diag, m, iters: int = 20, dtype=jnp.float32):

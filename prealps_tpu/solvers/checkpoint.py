@@ -81,4 +81,4 @@ def ecg_solve_checkpointed(
             break
         if float(jnp.sum(state.mask)) <= 0:
             break
-    return ecg_finalize(state, normb)
+    return ecg_finalize(state, normb, opts.layout)

@@ -21,32 +21,36 @@ Design differences vs the reference (TPU-first, not a port):
 * Dynamic search-direction reduction (ADAPT_BS, reference ecg.c:444-497)
   keeps static shapes: directions are deactivated by a prefix mask after a
   rotation by the left singular vectors of alpha, instead of shrinking
-  arrays. Deactivated columns are zeroed; the Gram/Cholesky ops treat them
-  as identity (see ops/blockops.chol_masked).
+  arrays. Dropped direction columns stay in P as a frozen A-orthonormal
+  basis for later orthogonalisation (the analog of the reference's stale-V
+  bookkeeping, ecg.c:494-496).
 * Works identically single-device (axis_name=None) and inside shard_map
   (axis_name="shards"): all reductions go through `psum`.
+* Panels support two memory layouts (solvers/panels.py): rows-major "nt"
+  and lane-major "tbn" — the latter keeps the long node axis in TPU vector
+  lanes, which is the fast path on hardware.
 
-All heavy products are (m×t)-tall-skinny GEMMs — t is the MXU batch dim.
+All heavy products are tall-skinny GEMMs — t is the MXU batch dim.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from prealps_tpu.ops.blockops import (
     HIGHEST,
     chol_masked,
-    gram,
     left_trit_solve,
     pivoted_cholesky,
     psum,
     right_tri_solve,
 )
+from prealps_tpu.solvers.panels import LAYOUTS, NT
 
 
 @dataclass(frozen=True)
@@ -57,10 +61,11 @@ class ECGOptions:
     variant: str = "odir_fused"  # omin | odir | odir_fused
     adaptive: bool = False       # dynamic search-direction reduction
     record_history: bool = True
+    layout: str = "nt"           # nt | tbn (lane-major, TPU fast path)
 
 
 class ECGResult(NamedTuple):
-    x: jax.Array            # local solution rows (m,)
+    x: jax.Array            # local solution rows; shape = panel space shape
     iters: jax.Array        # iteration count
     res: jax.Array          # final ||R||_F
     normb: jax.Array
@@ -70,13 +75,13 @@ class ECGResult(NamedTuple):
 
 
 class _State(NamedTuple):
-    x_blk: jax.Array    # (m, t)
-    r: jax.Array        # (m, t)
-    p: jax.Array        # (m, t)
-    ap: jax.Array       # (m, t)
-    p_prev: jax.Array   # (m, t) (odir only; zeros otherwise)
-    ap_prev: jax.Array  # (m, t)
-    z: jax.Array        # (m, t)
+    x_blk: jax.Array
+    r: jax.Array
+    p: jax.Array
+    ap: jax.Array
+    p_prev: jax.Array
+    ap_prev: jax.Array
+    z: jax.Array
     mask: jax.Array     # (t,) active-direction mask (1.0 prefix)
     it: jax.Array
     res: jax.Array
@@ -84,38 +89,26 @@ class _State(NamedTuple):
     history: jax.Array
 
 
-def split_rhs(b: jax.Array, t: int, assign: Optional[jax.Array] = None) -> jax.Array:
-    """Split rhs b (m,) into an (m, t) block R₀ with disjoint row groups.
-
-    assign: optional (m,) int array giving the target column per row
-    (reference: ecg.c:201 _preAlps_ECGSplit puts rank r's rows into column
-    r % t). Default: contiguous equal split of local rows.
-    """
-    m = b.shape[0]
+def split_rhs(b: jax.Array, t: int, assign=None, ops=NT) -> jax.Array:
+    """Split rhs b into t disjoint row groups (reference: ecg.c:201
+    _preAlps_ECGSplit puts rank r's rows into column r % t). Default:
+    contiguous equal split of the flattened local rows."""
     if assign is None:
-        bounds = [(m * i) // t for i in range(t + 1)]
-        assign = jnp.concatenate(
-            [jnp.full((bounds[i + 1] - bounds[i],), i, dtype=jnp.int32) for i in range(t)]
-        )
-    onehot = jax.nn.one_hot(assign, t, dtype=b.dtype)
-    return onehot * b[:, None]
+        m = int(np.prod(b.shape)) if b.ndim > 1 else b.shape[0]
+        flat_assign = (jnp.arange(m) * t) // m
+        assign = flat_assign.reshape(b.shape).astype(jnp.int32)
+    return ops.split(b, t, assign)
 
 
-def _masked(x, mask):
-    return x * mask[None, :]
+def _gram(ops, x, y, axis_name):
+    return psum(ops.gram(x, y), axis_name)
 
 
-def _rotate_reduce(alpha, p, ap, z, mask, red_tol, dtype):
+def _rotate_reduce(ops, alpha, p, ap, z, mask, red_tol, dtype):
     """Adaptive search-direction reduction (reference: ecg.c:444-497).
 
-    SVD of alpha = U Σ Vᵀ; directions are rotated by U (ordering them by
-    their contribution to the update) and those with σ ≤ red_tol are
-    deactivated. Deactivated direction columns of P/AP are NOT zeroed: they
-    stay as a frozen A-orthonormal basis that later directions keep being
-    A-orthogonalised against — the static-shape analog of the reference's
-    stale-column V buffer (reference: ecg.c:494-496 kbs = t + nrhs keeps
-    dropped columns inside V for the beta projection).
-    """
+    SVD of alpha = U Σ Vᵀ; directions rotated by U, those with σ ≤ red_tol
+    deactivated. Dropped P/AP columns are kept (frozen basis)."""
     t = alpha.shape[0]
     alpha_m = alpha * mask[:, None]
     u_svd, sig, _ = jnp.linalg.svd(alpha_m.astype(dtype))
@@ -128,55 +121,49 @@ def _rotate_reduce(alpha, p, ap, z, mask, red_tol, dtype):
     def apply_rot(args):
         alpha, p, ap, z = args
         a2 = jnp.einsum("ij,ik->jk", u_svd, alpha, precision=HIGHEST)
-        p2 = jnp.einsum("mt,ts->ms", p, u_svd, precision=HIGHEST)
-        ap2 = jnp.einsum("mt,ts->ms", ap, u_svd, precision=HIGHEST)
-        z2 = jnp.einsum("mt,ts->ms", z, u_svd, precision=HIGHEST)
-        return a2, p2, ap2, z2
+        return a2, ops.rotate(p, u_svd), ops.rotate(ap, u_svd), ops.rotate(z, u_svd)
 
     alpha, p, ap, z = jax.lax.cond(
         do_red, apply_rot, lambda args: args, (alpha, p, ap, z)
     )
     alpha = alpha * new_mask[:, None]
-    return alpha, p, ap, _masked(z, new_mask), new_mask
+    return alpha, p, ap, ops.scale_dirs(z, new_mask), new_mask
 
 
-def _iter_omin(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol):
+def _iter_omin(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol, ops):
     p, ap, r, x_blk, mask = state.p, state.ap, state.r, state.x_blk, state.mask
-    dtype = p.dtype
+    dtype = state.res.dtype
     # --- A-CholQR of P against AP (reference: ecg.c:307-328) ---
-    c = gram(ap, p, axis_name)
+    c = _gram(ops, ap, p, axis_name)
     u = chol_masked(c, mask)
     breakdown = jnp.any(jnp.isnan(u))
     u = jnp.where(breakdown, jnp.eye(u.shape[0], dtype=dtype), u)
-    p = right_tri_solve(u, p)
-    ap = right_tri_solve(u, ap)
+    p = ops.right_solve(u, p)
+    ap = ops.right_solve(u, ap)
     # --- alpha and update (ecg.c:330-339) ---
-    alpha = gram(p, r, axis_name)
-    x_blk = x_blk + jnp.einsum("mt,ts->ms", p, alpha, precision=HIGHEST)
-    r = r - jnp.einsum("mt,ts->ms", ap, alpha, precision=HIGHEST)
+    alpha = _gram(ops, p, r, axis_name)
+    x_blk = ops.update(x_blk, p, alpha)
+    r = ops.downdate(r, ap, alpha)
     # --- stopping quantity (ecg.c:223 StoppingCriterion) ---
-    rtr = gram(r, r, axis_name)
+    rtr = _gram(ops, r, r, axis_name)
     res = jnp.sqrt(jnp.trace(rtr))
     # --- new direction: Z = M⁻¹R, A-orthogonalise against P (ecg.c:345-358) ---
     z = m_apply(r)
-    beta = gram(ap, z, axis_name)
-    p_new = z - jnp.einsum("mt,ts->ms", p, beta, precision=HIGHEST)
+    beta = _gram(ops, ap, z, axis_name)
+    p_new = ops.downdate(z, p, beta)
     if opts.adaptive:
-        # BF-Omin: rank-revealing pivoted Cholesky of PᵀP (ecg.c:361-393).
-        # Inactive columns have zero diagonal, so they are never pivoted in
-        # and do not contribute to the revealed rank.
-        c2 = gram(p_new, p_new, axis_name)
+        # BF-Omin: rank-revealing pivoted Cholesky of PᵀP (ecg.c:361-393)
+        c2 = _gram(ops, p_new, p_new, axis_name)
         u2, piv, rank = pivoted_cholesky(c2, jnp.asarray(-1.0, dtype))
         bs = jnp.sum(mask).astype(jnp.int32)
         t1 = jnp.minimum(rank, bs)
-        new_mask = (jnp.arange(p.shape[1]) < t1).astype(dtype)
-        # guard zero diagonals of the deactivated tail before the trisolve
+        new_mask = (jnp.arange(mask.shape[0]) < t1).astype(dtype)
         diag_fix = (jnp.abs(jnp.diag(u2)) == 0).astype(dtype)
         u2 = u2 + jnp.diag(diag_fix)
-        p_perm = p_new[:, piv]
-        p_new = _masked(right_tri_solve(u2, p_perm), new_mask)
+        p_perm = ops.take_dirs(p_new, piv)
+        p_new = ops.scale_dirs(ops.right_solve(u2, p_perm), new_mask)
         mask = new_mask
-    p_new = _masked(p_new, mask)
+    p_new = ops.scale_dirs(p_new, mask)
     ap_new = a_apply(p_new)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new, z=z, mask=mask,
@@ -186,69 +173,71 @@ def _iter_omin(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol)
     )
 
 
-def _iter_odir(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol):
+def _iter_odir(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol, ops):
     p, ap, r, x_blk, mask = state.p, state.ap, state.r, state.x_blk, state.mask
     p_prev, ap_prev = state.p_prev, state.ap_prev
-    dtype = p.dtype
+    dtype = state.res.dtype
     # --- A-CholQR (ecg.c:421-436) ---
-    c = gram(ap, p, axis_name)
+    c = _gram(ops, ap, p, axis_name)
     u = chol_masked(c, mask)
     breakdown = jnp.any(jnp.isnan(u))
     u = jnp.where(breakdown, jnp.eye(u.shape[0], dtype=dtype), u)
-    p = right_tri_solve(u, p)
-    ap = right_tri_solve(u, ap)
+    p = ops.right_solve(u, p)
+    ap = ops.right_solve(u, ap)
     # --- alpha (ecg.c:437-443) ---
-    alpha = gram(p, r, axis_name)
+    alpha = _gram(ops, p, r, axis_name)
     if opts.adaptive:
         alpha, p, ap, _z, mask = _rotate_reduce(
-            alpha, p, ap, jnp.zeros_like(p), mask, red_tol, dtype
+            ops, alpha, p, ap, jnp.zeros_like(p), mask, red_tol, dtype
         )
     # --- update (ecg.c:500-501) ---
-    x_blk = x_blk + jnp.einsum("mt,ts->ms", p, alpha, precision=HIGHEST)
-    r = r - jnp.einsum("mt,ts->ms", ap, alpha, precision=HIGHEST)
-    rtr = gram(r, r, axis_name)
+    x_blk = ops.update(x_blk, p, alpha)
+    r = ops.downdate(r, ap, alpha)
+    rtr = _gram(ops, r, r, axis_name)
     res = jnp.sqrt(jnp.trace(rtr))
     # --- new direction: Z = M⁻¹AP, A-orthogonalise against V=[P, P_prev]
     #     (ecg.c:508-527). P may carry frozen (deactivated) columns; the
-    #     beta1 projection covers them, keeping new directions A-orthogonal
-    #     to the dropped basis. ---
+    #     beta1 projection covers them. ---
     z = m_apply(ap)
-    beta1 = gram(ap, z, axis_name)
-    beta2 = gram(ap_prev, z, axis_name)
-    z = z - jnp.einsum("mt,ts->ms", p, beta1, precision=HIGHEST)
-    z = z - jnp.einsum("mt,ts->ms", p_prev, beta2, precision=HIGHEST)
-    z = _masked(z, mask)
-    p_new = z + p * (1.0 - mask)[None, :]      # active ← Z, frozen kept
+    beta1 = _gram(ops, ap, z, axis_name)
+    beta2 = _gram(ops, ap_prev, z, axis_name)
+    z = ops.downdate(z, p, beta1)
+    z = ops.downdate(z, p_prev, beta2)
+    z = ops.scale_dirs(z, mask)
+    p_new = z + ops.scale_dirs(p, 1.0 - mask)      # active ← Z, frozen kept
     ap_new = a_apply(p_new)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new,
-        p_prev=_masked(p, mask), ap_prev=_masked(ap, mask), z=z, mask=mask,
+        p_prev=ops.scale_dirs(p, mask), ap_prev=ops.scale_dirs(ap, mask),
+        z=z, mask=mask,
         it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
     )
 
 
-def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol):
+def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol, ops):
     """One iteration with a SINGLE fused reduction (reference: ecg.c:532-658).
 
     Entering state: P, AP=A·P (pre-orthonormalisation), Z = M⁻¹AP,
     V = [P, P_prev], AV = [AP, AP_prev]. The Gram blocks are computed on the
     raw P/AP and corrected through the triangular factor afterwards:
-      alphã = U⁻ᵀ (PᵀR),   betã = [U⁻ᵀ (APᵀZ) U⁻¹ ; (AP_prev)ᵀ Z U⁻¹].
+      alphã = U⁻ᵀ (PᵀR),   betã = [U⁻ᵀ (APᵀZ) U⁻¹ ; (AP_prev)ᵀ Z U⁻¹].
     """
     p, ap, r, x_blk, mask = state.p, state.ap, state.r, state.x_blk, state.mask
     p_prev, ap_prev, z = state.p_prev, state.ap_prev, state.z
-    dtype = p.dtype
-    t = p.shape[1]
+    dtype = state.res.dtype
+    t = mask.shape[0]
 
     # --- single fused reduction of 5 t² blocks (ecg.c:556-565) ---
-    alpha_l = jnp.einsum("mt,ms->ts", p, r, precision=HIGHEST)
-    beta1_l = jnp.einsum("mt,ms->ts", ap, z, precision=HIGHEST)
-    beta2_l = jnp.einsum("mt,ms->ts", ap_prev, z, precision=HIGHEST)
-    mu_l = jnp.einsum("mt,ms->ts", ap, p, precision=HIGHEST)
-    rtr_l = jnp.einsum("mt,ms->ts", r, r, precision=HIGHEST)
-    fused = psum(jnp.stack([alpha_l, beta1_l, beta2_l, mu_l, rtr_l]), axis_name)
+    fused_local = jnp.stack([
+        ops.gram(p, r),
+        ops.gram(ap, z),
+        ops.gram(ap_prev, z),
+        ops.gram(ap, p),
+        ops.gram(r, r),
+    ])
+    fused = psum(fused_local, axis_name)
     alpha, beta1, beta2, mu, rtr = (fused[i] for i in range(5))
 
     res = jnp.sqrt(jnp.trace(rtr))
@@ -257,34 +246,35 @@ def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, re
     u = chol_masked(mu, mask)
     breakdown = jnp.any(jnp.isnan(u))
     u = jnp.where(breakdown, jnp.eye(t, dtype=dtype), u)
-    p = right_tri_solve(u, p)
-    ap = right_tri_solve(u, ap)
-    z = right_tri_solve(u, z)
+    p = ops.right_solve(u, p)
+    ap = ops.right_solve(u, ap)
+    z = ops.right_solve(u, z)
     alpha = left_trit_solve(u, alpha) * mask[:, None]
     beta1 = left_trit_solve(u, right_tri_solve(u, beta1))
     beta2 = right_tri_solve(u, beta2)
 
     # --- Z -= V beta (ecg.c:590-591) ---
-    z = z - jnp.einsum("mt,ts->ms", p, beta1, precision=HIGHEST)
-    z = z - jnp.einsum("mt,ts->ms", p_prev, beta2, precision=HIGHEST)
+    z = ops.downdate(z, p, beta1)
+    z = ops.downdate(z, p_prev, beta2)
 
     if opts.adaptive:
-        alpha, p, ap, z, mask = _rotate_reduce(alpha, p, ap, z, mask, red_tol, dtype)
+        alpha, p, ap, z, mask = _rotate_reduce(
+            ops, alpha, p, ap, z, mask, red_tol, dtype
+        )
 
     # --- X, R update (ecg.c:644-645) ---
-    x_blk = x_blk + jnp.einsum("mt,ts->ms", p, alpha, precision=HIGHEST)
-    r = r - jnp.einsum("mt,ts->ms", ap, alpha, precision=HIGHEST)
+    x_blk = ops.update(x_blk, p, alpha)
+    r = ops.downdate(r, ap, alpha)
 
-    # --- roll V and refresh AP/Z for the next iteration (ecg.c:650-653):
-    #     active columns ← Z; frozen (deactivated) columns stay in P. ---
-    z = _masked(z, mask)
-    p_new = z + p * (1.0 - mask)[None, :]
+    # --- roll V; active columns ← Z, frozen stay in P (ecg.c:650-653) ---
+    z = ops.scale_dirs(z, mask)
+    p_new = z + ops.scale_dirs(p, 1.0 - mask)
     ap_new = a_apply(p_new)
     z_new = m_apply(ap_new)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new,
-        p_prev=_masked(p, mask), ap_prev=_masked(ap, mask), z=z_new,
-        mask=mask, it=state.it + 1, res=res,
+        p_prev=ops.scale_dirs(p, mask), ap_prev=ops.scale_dirs(ap, mask),
+        z=z_new, mask=mask, it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
     )
@@ -304,15 +294,15 @@ def ecg_init(
     """Initial solver state + normb (the ECGInitialize/Reset analog,
     reference: ecg.c:98-199). State is a plain pytree — snapshot/restore it
     freely (checkpoint/resume, see solvers/checkpoint.py)."""
+    ops = LAYOUTS[opts.layout]
     t = opts.t
     dtype = b.dtype
-    m = b.shape[0]
     normb = jnp.sqrt(psum(jnp.vdot(b, b), axis_name))
-    r0 = split_rhs(b, t, split_assign)
+    r0 = split_rhs(b, t, split_assign, ops)
     p0 = m_apply(r0)
     ap0 = a_apply(p0)
     z0 = m_apply(ap0) if opts.variant == "odir_fused" else jnp.zeros_like(p0)
-    zeros = jnp.zeros((m, t), dtype)
+    zeros = jnp.zeros_like(p0)
     history = jnp.full((opts.maxiter,), -1.0, dtype)
     state0 = _State(
         x_blk=zeros, r=r0, p=p0, ap=ap0, p_prev=zeros, ap_prev=zeros, z=z0,
@@ -329,12 +319,12 @@ def ecg_run(
     """Run the iteration loop from `state` until convergence, maxiter, or
     (optionally) max_steps more iterations — the chunked-execution primitive
     behind checkpoint/resume."""
+    ops = LAYOUTS[opts.layout]
     iter_fn = _ITER_FNS[opts.variant]
-    dtype = state.r.dtype
+    dtype = state.res.dtype
     t = opts.t
     red_tol = (opts.tol * normb / jnp.sqrt(jnp.asarray(float(t), dtype))).astype(dtype)
     tol_abs = (opts.tol * normb).astype(dtype)
-    it_limit = opts.maxiter if max_steps is None else None
     it_stop = state.it + max_steps if max_steps is not None else None
 
     def cond(s: _State):
@@ -345,15 +335,16 @@ def ecg_run(
         return ok
 
     def body(s: _State):
-        return iter_fn(s, a_apply, m_apply, axis_name, opts, normb, red_tol)
+        return iter_fn(s, a_apply, m_apply, axis_name, opts, normb, red_tol, ops)
 
     return jax.lax.while_loop(cond, body, state)
 
 
-def ecg_finalize(state: "_State", normb: jax.Array) -> ECGResult:
+def ecg_finalize(state: "_State", normb: jax.Array, layout: str = "nt") -> ECGResult:
     """Sum the solution columns (reference: ecg.c:668-677)."""
+    ops = LAYOUTS[layout]
     return ECGResult(
-        x=jnp.sum(state.x_blk, axis=1),
+        x=ops.sum_dirs(state.x_blk),
         iters=state.it,
         res=state.res,
         normb=normb,
@@ -375,9 +366,11 @@ def ecg_solve(
     """Solve A x = b. All arrays are LOCAL row panels; inside shard_map pass
     axis_name to reduce across shards (single device: axis_name=None).
 
-    a_apply / m_apply: jittable (m, t) -> (m, t) operator callbacks — the
+    a_apply / m_apply: jittable panel -> panel operator callbacks — the
     functional replacement of the reference's reverse-communication interface
-    (reference: src/solvers/ecg.h:116-148 rci_request protocol).
+    (reference: src/solvers/ecg.h:116-148 rci_request protocol). Panel shape
+    is (m, t) for layout "nt", (t, *space) for layout "tbn"; b is (m,) resp.
+    (*space).
     """
     if m_apply is None:
         m_apply = lambda v: v
@@ -387,4 +380,4 @@ def ecg_solve(
         raise NotImplementedError("pass b - A x0 and add x0 to the result instead")
     state0, normb = ecg_init(a_apply, m_apply, b, opts, axis_name, split_assign)
     final = ecg_run(a_apply, m_apply, state0, normb, opts, axis_name)
-    return ecg_finalize(final, normb)
+    return ecg_finalize(final, normb, opts.layout)

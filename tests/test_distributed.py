@@ -114,3 +114,63 @@ class TestStencilDistributed:
         )
         x, info = s.solve(b)
         assert _relres(poisson_small, x, b) < 2e-5
+
+
+class TestLaneMajorAndChebyshev:
+    def test_tbn_matches_nt(self, ela_small, ela_b):
+        from dataclasses import replace
+
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s_nt = DistributedECG.build(
+            ela_small, nshards=4, opts=opts, fmt="stencil", br=3, precond="none"
+        )
+        s_tbn = DistributedECG.build(
+            ela_small, nshards=4, opts=replace(opts, layout="tbn"),
+            fmt="stencil", br=3, precond="none",
+        )
+        x1, i1 = s_nt.solve(ela_b)
+        x2, i2 = s_tbn.solve(ela_b)
+        assert i1["iters"] == i2["iters"]
+        np.testing.assert_allclose(x1, x2, rtol=1e-6, atol=1e-7)  # layouts reduce in different orders
+
+    def test_chebyshev_reduces_iterations(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=3000, variant="odir_fused")
+        s0 = DistributedECG.build(
+            ela_small, nshards=4, opts=opts, fmt="stencil", br=3, precond="none"
+        )
+        s1 = DistributedECG.build(
+            ela_small, nshards=4, opts=opts, fmt="stencil", br=3,
+            precond="chebyshev", cheb_degree=8,
+        )
+        x0, i0 = s0.solve(ela_b)
+        x1, i1 = s1.solve(ela_b)
+        assert _relres(ela_small, x1, ela_b) < 2e-5
+        assert i1["iters"] < i0["iters"] // 2
+
+    def test_tbn_chebyshev_all_variants(self, ela_small, ela_b):
+        from dataclasses import replace
+
+        # one non-fused variant here; the others are covered by
+        # test_tbn_matches_nt / test_tbn_adaptive (keeps compile time down)
+        for variant in ("odir",):
+            opts = ECGOptions(
+                t=4, tol=1e-6, maxiter=2000, variant=variant, layout="tbn"
+            )
+            s = DistributedECG.build(
+                ela_small, nshards=2, opts=opts, fmt="stencil", br=3,
+                precond="chebyshev",
+            )
+            x, info = s.solve(ela_b)
+            assert _relres(ela_small, x, ela_b) < 2e-5, variant
+
+    def test_tbn_adaptive(self, ela_small, ela_b):
+        opts = ECGOptions(
+            t=8, tol=1e-7, maxiter=3000, variant="odir_fused",
+            adaptive=True, layout="tbn",
+        )
+        s = DistributedECG.build(
+            ela_small, nshards=4, opts=opts, fmt="stencil", br=3,
+            precond="chebyshev",
+        )
+        x, info = s.solve(ela_b)
+        assert _relres(ela_small, x, ela_b) < 2e-6
