@@ -226,18 +226,40 @@ class DistributedECG:
                 # round-1 halo strategy: gather the whole X panel over ICI,
                 # then local SpMM on this shard's rows
                 if lane_major:
-                    # x_loc: (t, br, nrb_loc); node axis minor (TPU lanes)
+                    # x_loc: (t, br, nrb_loc); node axis minor (TPU lanes).
+                    # Halo exchange, not all-gather: the stencil only reaches
+                    # ±h nodes, so each shard fetches h boundary nodes from
+                    # its ring neighbors via ppermute (the TPU-native analog
+                    # of the reference's ISend/Irecv dep-list halo SpMM,
+                    # reference: utils/cplm_v0/cplm_v0_matmult_v2.c:182-321).
+                    # Wrap-around halo entries multiply ZERO blocks (boundary
+                    # rows have no neighbor there), so the ring is exact.
                     (blocks_t_loc,) = mat_ops   # (S, br, br, nrb_loc)
-                    x_full = jax.lax.all_gather(x_loc, AXIS, axis=2, tiled=True)
                     t_dim = x_loc.shape[0]
-                    base = (jax.lax.axis_index(AXIS) * nrb_loc).astype(jnp.int32)
-                    zero = jnp.int32(0)
+                    halo = max(max(abs(o) for o in stencil_offsets), 0)
+                    if halo <= nrb_loc and nshards > 1:
+                        fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+                        bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+                        left = jax.lax.ppermute(
+                            x_loc[:, :, nrb_loc - halo:], AXIS, fwd
+                        )
+                        right = jax.lax.ppermute(x_loc[:, :, :halo], AXIS, bwd)
+                        x_ext = jnp.concatenate([left, x_loc, right], axis=2)
+                    elif nshards == 1:
+                        # single shard: wrap halos are own boundary slices
+                        x_ext = jnp.concatenate(
+                            [x_loc[:, :, nrb_loc - halo:], x_loc, x_loc[:, :, :halo]],
+                            axis=2,
+                        )
+                    else:
+                        # degenerate thin shards: fall back to full gather
+                        x_all = jax.lax.all_gather(x_loc, AXIS, axis=2, tiled=True)
+                        sidx = jax.lax.axis_index(AXIS)
+                        x_all = jnp.roll(x_all, halo - sidx * nrb_loc, axis=2)
+                        x_ext = x_all[:, :, : nrb_loc + 2 * halo]
                     y = jnp.zeros((t_dim, br, nrb_loc), x_loc.dtype)
                     for s_i, off in enumerate(stencil_offsets):
-                        xs = jnp.roll(x_full, -off, axis=2) if off else x_full
-                        xs = jax.lax.dynamic_slice(
-                            xs, (zero, zero, base), (t_dim, br, nrb_loc)
-                        )
+                        xs = x_ext[:, :, halo + off: halo + off + nrb_loc]
                         for m_i in range(br):
                             acc = None
                             for k_i in range(br):
