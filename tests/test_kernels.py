@@ -164,3 +164,46 @@ class TestSpMSV:
             if not mask[i]:
                 b_masked[offsets[i]: offsets[i + 1]] = 0
         np.testing.assert_allclose(np.asarray(c), a @ b_masked, rtol=1e-10, atol=1e-12)
+
+
+class TestCholQR:
+    def test_a_cholqr(self, rng, ela_small):
+        from prealps_tpu.ops.cholqr import a_cholqr
+
+        a = jnp.asarray(ela_small.toarray())
+        p = jnp.asarray(rng.standard_normal((a.shape[0], 6)))
+        ap = a @ p
+        pt, apt, u = a_cholqr(p, ap)
+        g = np.asarray(pt.T @ a @ pt)
+        np.testing.assert_allclose(g, np.eye(6), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a @ pt), np.asarray(apt), rtol=1e-9, atol=1e-9)
+
+    def test_cholqr2_orthonormal(self, rng):
+        from prealps_tpu.ops.cholqr import cholqr2
+
+        p = jnp.asarray(rng.standard_normal((400, 8)))
+        q, r = cholqr2(p)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(8), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(q @ r), np.asarray(p), rtol=1e-10, atol=1e-10)
+
+    def test_a_normalize(self, rng, ela_small):
+        from prealps_tpu.ops.cholqr import a_normalize
+
+        a = jnp.asarray(ela_small.toarray())
+        p = jnp.asarray(rng.standard_normal((a.shape[0], 4)))
+        pn, apn = a_normalize(p, a @ p)
+        diag = np.diag(np.asarray(pn.T @ a @ pn))
+        np.testing.assert_allclose(diag, 1.0, rtol=1e-10)
+
+
+class TestTimers:
+    def test_timers_accumulate(self):
+        from prealps_tpu.utils.timing import Timers
+
+        t = Timers()
+        with t.time("phase_a"):
+            pass
+        with t.time("phase_a"):
+            pass
+        assert t.count["phase_a"] == 2
+        assert "phase_a" in t.summary()
