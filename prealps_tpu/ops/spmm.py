@@ -152,25 +152,52 @@ def stencil_bsr_spmm(a, x: jax.Array) -> jax.Array:
     return y.reshape(nrb * br, t)
 
 
+def stencil_scan_accumulate(blocks_t, offsets_arr, x_ext, halo: int):
+    """Core lane-major stencil accumulation as a lax.scan over offsets.
+
+    blocks_t: (S, br, br, nrb_loc); offsets_arr: (S,) int32;
+    x_ext: (t, br, nrb_loc + 2*halo) extended panel (halo already attached).
+    Scanning keeps the traced graph small (S steps traced once) — critical
+    for compile time with the stencil inside solver loops.
+    """
+    s_max, br, _, nrb = blocks_t.shape
+    t = x_ext.shape[0]
+    y0 = jnp.zeros((t, br, nrb), dtype=x_ext.dtype)
+
+    def step(y, inp):
+        off, blk = inp  # blk: (br, br, nrb)
+        xs = jax.lax.dynamic_slice(
+            x_ext, (jnp.int32(0), jnp.int32(0), jnp.int32(halo) + off),
+            (t, br, nrb),
+        )
+        for m in range(br):
+            acc = None
+            for k in range(br):
+                term = blk[m, k][None, :] * xs[:, k, :]
+                acc = term if acc is None else acc + term
+            y = y.at[:, m, :].add(acc)
+        return y, None
+
+    y, _ = jax.lax.scan(step, y0, (offsets_arr.astype(jnp.int32), blocks_t))
+    return y
+
+
 def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
     """Lane-major stencil SpMM: xt (t, br, nrb) -> yt (t, br, nrb).
 
     All arrays keep the long node axis minor (TPU lanes); the br×br block
-    product is unrolled into br² broadcast FMAs per stencil offset — pure
-    VPU work at full lane utilisation, reading each operand once.
+    product is br² broadcast FMAs per stencil offset — pure VPU work at full
+    lane utilisation, reading each operand once. Wrap-around entries multiply
+    zero blocks, so attaching the panel's own boundary slices as halos is
+    exact (same argument as jnp.roll).
     """
     s_max, br, _, nrb = a.blocks_t.shape
-    t = xt.shape[0]
-    y = jnp.zeros((t, br, nrb), dtype=xt.dtype)
-    for s, off in enumerate(a.offsets):
-        xs = jnp.roll(xt, -off, axis=2) if off else xt
-        for m in range(br):
-            acc = None
-            for k in range(br):
-                term = a.blocks_t[s, m, k][None, :] * xs[:, k, :]
-                acc = term if acc is None else acc + term
-            y = y.at[:, m, :].add(acc)
-    return y
+    halo = max(max(abs(o) for o in a.offsets), 0)
+    x_ext = jnp.concatenate(
+        [xt[:, :, nrb - halo:], xt, xt[:, :, :halo]], axis=2
+    )
+    offsets_arr = jnp.asarray(a.offsets, dtype=jnp.int32)
+    return stencil_scan_accumulate(a.blocks_t, offsets_arr, x_ext, halo)
 
 
 def panel_to_lane_major(x: jax.Array, br: int) -> jax.Array:

@@ -257,16 +257,12 @@ class DistributedECG:
                         sidx = jax.lax.axis_index(AXIS)
                         x_all = jnp.roll(x_all, halo - sidx * nrb_loc, axis=2)
                         x_ext = x_all[:, :, : nrb_loc + 2 * halo]
-                    y = jnp.zeros((t_dim, br, nrb_loc), x_loc.dtype)
-                    for s_i, off in enumerate(stencil_offsets):
-                        xs = x_ext[:, :, halo + off: halo + off + nrb_loc]
-                        for m_i in range(br):
-                            acc = None
-                            for k_i in range(br):
-                                term = blocks_t_loc[s_i, m_i, k_i][None, :] * xs[:, k_i, :]
-                                acc = term if acc is None else acc + term
-                            y = y.at[:, m_i, :].add(acc)
-                    return y
+                    from prealps_tpu.ops.spmm import stencil_scan_accumulate
+
+                    offsets_arr = jnp.asarray(stencil_offsets, dtype=jnp.int32)
+                    return stencil_scan_accumulate(
+                        blocks_t_loc, offsets_arr, x_ext, halo
+                    )
                 x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
                 if fmt == "stencil":
                     (blocks_loc,) = mat_ops

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 def cheby_recurrence(op, b, degree: int, lam_min, lam_max):
     """x ≈ op⁻¹ b by `degree` steps of the Chebyshev iteration on the
     spectrum [lam_min, lam_max] of `op` (standard three-term recurrence;
-    `degree` operator applications total). Layout-agnostic: works on any
-    panel shape as long as `op` and `b` agree."""
+    degree-1 operator applications after the initial residual). Uses a
+    fori_loop so the traced graph stays small regardless of degree.
+    Layout-agnostic: works on any panel shape `op` and `b` agree on."""
     theta = (lam_max + lam_min) / 2.0
     delta = (lam_max - lam_min) / 2.0
     sigma1 = theta / delta
@@ -35,15 +36,23 @@ def cheby_recurrence(op, b, degree: int, lam_min, lam_max):
     if degree <= 1:
         return x
     res = b - op(x)
-    rho_prev = 1.0 / sigma1
-    for k in range(degree - 1):
-        if k > 0:
-            res = res - op(dvec)
+    rho0 = jnp.asarray(1.0 / sigma1, b.dtype)
+
+    def body(k, carry):
+        x, dvec, res, rho_prev = carry
         rho = 1.0 / (2.0 * sigma1 - rho_prev)
         dvec = rho * rho_prev * dvec + (2.0 * rho / delta) * res
         x = x + dvec
-        rho_prev = rho
-    return x
+        res = res - op(dvec)
+        return (x, dvec, res, rho)
+
+    x, dvec, res, rho_prev = jax.lax.fori_loop(
+        0, degree - 2, body, (x, dvec, res, rho0)
+    )
+    # final step (no residual update needed)
+    rho = 1.0 / (2.0 * sigma1 - rho_prev)
+    dvec = rho * rho_prev * dvec + (2.0 * rho / delta) * res
+    return x + dvec
 
 
 def power_lam_max_host(a, iters: int = 30) -> float:
