@@ -96,3 +96,41 @@ class TestLorascSolve:
         n1 = int((np.asarray(l1.sigma) > 0).sum())
         n2 = int((np.asarray(l2.sigma) > 0).sum())
         assert n2 >= n1
+
+
+class TestDistributedLorasc:
+    def test_distributed_lorasc_converges(self, ela_small, rng):
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=2000, variant="odir_fused")
+        solver = DistributedLorascECG.build(ela_small, nshards=4, opts=opts)
+        x, info = solver.solve(b)
+        assert not info["breakdown"]
+        assert _relres(ela_small, x, b) < 1e-5
+
+    def test_distributed_matches_single_device_lorasc(self, ela_small, rng):
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s_dist = DistributedLorascECG.build(ela_small, nshards=4, opts=opts)
+        s_single = ECGSolver.build(ela_small, opts=opts, precond="lorasc", nparts=4)
+        x1, i1 = s_dist.solve(b)
+        x2, i2 = s_single.solve(b)
+        assert _relres(ela_small, x1, b) < 1e-5
+        assert _relres(ela_small, x2, b) < 1e-5
+        # same algorithm, same partition count: iteration counts close
+        assert abs(i1["iters"] - i2["iters"]) <= max(5, 0.3 * i2["iters"])
+
+    def test_distributed_lorasc_beats_bj_iterations(self, ela_small, rng):
+        from prealps_tpu.parallel.driver import DistributedECG
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=4000, variant="odir_fused")
+        s_lo = DistributedLorascECG.build(ela_small, nshards=4, opts=opts)
+        s_bj = DistributedECG.build(ela_small, nshards=4, opts=opts)
+        x1, i1 = s_lo.solve(b)
+        x2, i2 = s_bj.solve(b)
+        assert i1["iters"] < i2["iters"]
