@@ -19,6 +19,10 @@ import time
 import numpy as np
 
 
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
@@ -42,9 +46,19 @@ def main():
     from prealps_tpu.solvers import ECGOptions
 
     t0 = time.time()
-    a = elasticity3d(nel, nel, nel)
+    cache = f"/tmp/prealps_ela_{nel}.npz"
+    if os.path.exists(cache):
+        import scipy.sparse as sp
+
+        d = np.load(cache)
+        a = sp.csr_matrix((d["data"], d["indices"], d["indptr"]), shape=tuple(d["shape"]))
+    else:
+        a = elasticity3d(nel, nel, nel)
+        np.savez(cache, data=a.data, indices=a.indices, indptr=a.indptr,
+                 shape=np.array(a.shape))
     n, nnz = a.shape[0], a.nnz
     gen_t = time.time() - t0
+    _log(f"matrix ready n={n} nnz={nnz} ({gen_t:.0f}s)")
 
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n)
@@ -60,11 +74,13 @@ def main():
         dtype=dtype, fmt=fmt, br=3, **kwargs,
     )
     build_t = time.time() - t0
+    _log(f"solver built ({build_t:.0f}s); compiling + warm solve...")
 
     # warm-up (compile) then timed solve
     t0 = time.time()
     x, info = solver.solve(b)
     warm_t = time.time() - t0
+    _log(f"warm solve done ({warm_t:.0f}s, iters={info['iters']}); timing...")
     t0 = time.time()
     x, info = solver.solve(b)
     tts = time.time() - t0
