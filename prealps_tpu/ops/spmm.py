@@ -216,3 +216,103 @@ def panel_from_lane_major(xt: jax.Array) -> jax.Array:
     """(t, br, nrb) -> (n, t)"""
     t, br, nrb = xt.shape
     return xt.transpose(2, 1, 0).reshape(nrb * br, t)
+
+
+def _stencil_t_kernel(off_ref, xext_hbm, blocks_ref, out_ref, xscratch, sem,
+                      *, s_max, br, halo, chunk, t_dim):
+    """Pallas kernel: lane-major stencil SpMM over one node chunk.
+
+    off_ref:    (s_max,) scalar-prefetch stencil offsets
+    xext_hbm:   (t, br, nrb_pad + 2*halo) in HBM/ANY — manually DMA'd, since
+                the per-chunk windows overlap by 2*halo (BlockSpec can't).
+    blocks_ref: (s_max, br, br, chunk) VMEM (pipelined per grid step)
+    out_ref:    (t, br, chunk) VMEM
+    xscratch:   (t, br, chunk + 2*halo) VMEM
+    """
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        xext_hbm.at[:, :, pl.ds(i * chunk, chunk + 2 * halo)], xscratch, sem
+    )
+    copy.start()
+    copy.wait()
+
+    def body(s, y):
+        off = off_ref[s]
+        for m in range(br):
+            acc = None
+            for k in range(br):
+                xs = xscratch[:, k, pl.ds(halo + off, chunk)]
+                term = blocks_ref[s, m, k][None, :] * xs
+                acc = term if acc is None else acc + term
+            y = y.at[:, m, :].add(acc)
+        return y
+
+    y0 = jnp.zeros((t_dim, br, chunk), jnp.float32)
+    y = jax.lax.fori_loop(0, s_max, body, y0)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def stencil_bsr_spmm_t_pallas(a, xt: jax.Array, chunk: int = 4096,
+                              interpret: bool = False) -> jax.Array:
+    """Pallas lane-major stencil SpMM: xt (t, br, nrb) -> (t, br, nrb).
+
+    Speed-of-light formulation: the x chunk (plus halo) is DMA'd to VMEM once
+    and re-read from VMEM for every stencil offset, so HBM traffic is
+    blocks (fill≈1) + x + y — the minimum possible. Wrap-around halo entries
+    multiply zero blocks (same exactness argument as the roll/scan paths).
+    """
+    s_max, br, _, nrb = a.blocks_t.shape
+    t_dim = xt.shape[0]
+    halo = max(max(abs(o) for o in a.offsets), 0)
+    grid = -(-nrb // chunk)
+    nrb_pad = grid * chunk
+
+    # x with wrap halos attached, padded to the grid
+    x_ext = jnp.concatenate(
+        [xt[:, :, nrb - halo:], xt, xt[:, :, :halo],
+         jnp.zeros((t_dim, br, nrb_pad - nrb), xt.dtype)],
+        axis=2,
+    )
+    blocks = a.blocks_t
+    if nrb_pad != nrb:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((s_max, br, br, nrb_pad - nrb), blocks.dtype)],
+            axis=3,
+        )
+    offs = jnp.asarray(a.offsets, dtype=jnp.int32)
+
+    kernel = functools.partial(
+        _stencil_t_kernel, s_max=s_max, br=br, halo=halo, chunk=chunk,
+        t_dim=t_dim,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x_ext stays in HBM
+            pl.BlockSpec(
+                (s_max, br, br, chunk), lambda i, s: (0, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (t_dim, br, chunk), lambda i, s: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((t_dim, br, chunk + 2 * halo), xt.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_dim, br, nrb_pad), xt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_max * br * br * nrb * t_dim,
+            bytes_accessed=blocks.size * 4 + 2 * xt.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(offs, x_ext, blocks)
+    return out[:, :, :nrb]

@@ -78,3 +78,57 @@ class TestBlockEll:
         y = block_ell_spmm_pallas(ab, jnp.asarray(x), interpret=True)
         y_ref = block_ell_spmm(ab, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=1e-4)
+
+
+class TestStencil:
+    def test_scan_matches_scipy(self, ela_small, rng):
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import (
+            panel_from_lane_major,
+            panel_to_lane_major,
+            stencil_bsr_spmm_t,
+        )
+
+        a, _ = sym_rac_scaling(ela_small)
+        sb = csr_to_stencil_bsr_t(a, br=3)
+        x = rng.standard_normal((a.shape[0], 4))
+        xt = panel_to_lane_major(jnp.asarray(x), 3)
+        y = panel_from_lane_major(stencil_bsr_spmm_t(sb, xt))
+        np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-10, atol=1e-12)
+
+    def test_pallas_matches_scan(self, ela_small, rng):
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import (
+            panel_to_lane_major,
+            stencil_bsr_spmm_t,
+            stencil_bsr_spmm_t_pallas,
+        )
+
+        a, _ = sym_rac_scaling(ela_small)
+        sb = csr_to_stencil_bsr_t(a, br=3, dtype=np.float32)
+        x = rng.standard_normal((a.shape[0], 4)).astype(np.float32)
+        xt = panel_to_lane_major(jnp.asarray(x), 3)
+        y1 = stencil_bsr_spmm_t(sb, xt)
+        y2 = stencil_bsr_spmm_t_pallas(sb, xt, chunk=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=2e-5, atol=1e-5)
+
+    def test_pallas_nondivisible_chunk(self, rng):
+        from prealps_tpu.core.generators import poisson3d
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import (
+            panel_from_lane_major,
+            panel_to_lane_major,
+            stencil_bsr_spmm_t_pallas,
+        )
+
+        a = poisson3d(7, 5, 5)  # 175 nodes, not divisible by 64
+        sb = csr_to_stencil_bsr_t(a, br=1, dtype=np.float32)
+        x = rng.standard_normal((a.shape[0], 2)).astype(np.float32)
+        xt = panel_to_lane_major(jnp.asarray(x), 1)
+        y = panel_from_lane_major(
+            stencil_bsr_spmm_t_pallas(sb, xt, chunk=64, interpret=True)
+        )
+        np.testing.assert_allclose(np.asarray(y), (a @ x).astype(np.float32),
+                                   rtol=2e-5, atol=1e-5)
