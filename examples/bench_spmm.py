@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""SpMM format sweep — the analog of the reference's SpMM benchmark driver
+(reference: examples/test_bench_spmm.c sweeps t = 1..28 with 10 repetitions
+against PETSc MatMatMult).
+
+Sweeps the enlarging factor t over the available device formats and reports
+Gnnz/s per configuration as JSON lines. Runs on whatever backend jax sees
+(TPU when available, CPU otherwise).
+
+Usage: python examples/bench_spmm.py [--nel 16] [--t 1,4,8,12,16] [--reps 20]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nel", type=int, default=16)
+    ap.add_argument("--t", default="1,4,8,12,16")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--formats", default="stencil_t,stencil_t_pallas,ell")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from prealps_tpu.core.generators import elasticity3d
+    from prealps_tpu.core.scaling import sym_rac_scaling
+    from prealps_tpu.ops.formats import (
+        csr_to_ell,
+        csr_to_stencil_bsr_t,
+    )
+    from prealps_tpu.ops.spmm import (
+        ell_spmm,
+        stencil_bsr_spmm_t,
+        stencil_bsr_spmm_t_pallas,
+    )
+
+    platform = jax.devices()[0].platform
+    dtype = np.float32 if platform == "tpu" else np.float64
+
+    a = elasticity3d(args.nel, args.nel, args.nel)
+    a, _ = sym_rac_scaling(a)
+    n, nnz = a.shape[0], a.nnz
+    rng = np.random.default_rng(0)
+
+    fmts = args.formats.split(",")
+    mats = {}
+    if "ell" in fmts:
+        mats["ell"] = csr_to_ell(a, dtype=dtype)
+    if "stencil_t" in fmts or "stencil_t_pallas" in fmts:
+        sb = csr_to_stencil_bsr_t(a, br=3, dtype=dtype)
+        mats["stencil_t"] = sb
+        mats["stencil_t_pallas"] = sb
+
+    for t in (int(v) for v in args.t.split(",")):
+        x = jnp.asarray(rng.standard_normal((n, t)).astype(dtype))
+        nrb = n // 3
+        xt = jnp.asarray(
+            np.ascontiguousarray(np.asarray(x).reshape(nrb, 3, t).transpose(2, 1, 0))
+        )
+        for name in fmts:
+            if name not in mats:
+                continue
+            if name == "ell":
+                fn = jax.jit(lambda v: ell_spmm(mats["ell"], v))
+                arg = x
+            elif name == "stencil_t":
+                fn = jax.jit(lambda v: stencil_bsr_spmm_t(mats["stencil_t"], v))
+                arg = xt
+            else:
+                if platform != "tpu":
+                    continue
+                fn = jax.jit(
+                    lambda v: stencil_bsr_spmm_t_pallas(mats["stencil_t_pallas"], v)
+                )
+                arg = xt
+            y = fn(arg)
+            jax.block_until_ready(y)
+            t0 = time.time()
+            for _ in range(args.reps):
+                y = fn(arg)
+            jax.block_until_ready(y)
+            dt = (time.time() - t0) / args.reps
+            print(json.dumps({
+                "format": name, "t": t, "n": n, "nnz": nnz,
+                "ms": round(dt * 1e3, 3),
+                "gnnz_per_s": round(nnz / dt / 1e9, 2),
+                "platform": platform,
+            }))
+
+
+if __name__ == "__main__":
+    main()

@@ -236,20 +236,21 @@ def _stencil_t_kernel(off_ref, xext_hbm, blocks_ref, out_ref, xscratch, sem,
     copy.start()
     copy.wait()
 
-    def body(s, y):
+    # per-m accumulators carried as a tuple (Mosaic has no scatter-add)
+    def body(s, carry):
         off = off_ref[s]
+        new = []
         for m in range(br):
-            acc = None
+            acc = carry[m]
             for k in range(br):
                 xs = xscratch[:, k, pl.ds(halo + off, chunk)]
-                term = blocks_ref[s, m, k][None, :] * xs
-                acc = term if acc is None else acc + term
-            y = y.at[:, m, :].add(acc)
-        return y
+                acc = acc + blocks_ref[s, m, k][None, :] * xs
+            new.append(acc)
+        return tuple(new)
 
-    y0 = jnp.zeros((t_dim, br, chunk), jnp.float32)
+    y0 = tuple(jnp.zeros((t_dim, chunk), jnp.float32) for _ in range(br))
     y = jax.lax.fori_loop(0, s_max, body, y0)
-    out_ref[:] = y.astype(out_ref.dtype)
+    out_ref[:] = jnp.stack(y, axis=1).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
