@@ -51,6 +51,18 @@ def right_tri_solve(u: jax.Array, x: jax.Array) -> jax.Array:
     )
 
 
+def tri_inv(u: jax.Array) -> jax.Array:
+    """Explicit inverse of a small upper-triangular factor (t×t). Used so
+    panel-scale triangular solves become MXU matmuls — on TPU a wide-RHS
+    triangular solve is far slower than a (t×t) inversion + GEMM, and for
+    CholQR-grade orthonormalisation the κ² amplification is already present
+    in the Gram matrix, so the explicit inverse loses nothing."""
+    eye = jnp.eye(u.shape[0], dtype=u.dtype)
+    return jax.lax.linalg.triangular_solve(
+        u, eye, left_side=True, lower=False, transpose_a=False
+    )
+
+
 def left_trit_solve(u: jax.Array, b: jax.Array) -> jax.Array:
     """U⁻ᵀ B with U upper triangular."""
     return jax.lax.linalg.triangular_solve(

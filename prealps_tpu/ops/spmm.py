@@ -218,39 +218,50 @@ def panel_from_lane_major(xt: jax.Array) -> jax.Array:
     return xt.transpose(2, 1, 0).reshape(nrb * br, t)
 
 
-def _stencil_t_kernel(off_ref, xext_hbm, blocks_ref, out_ref, xscratch, sem,
+def _stencil_t_kernel(off_ref, xext_hbm, blocks_ref, out_ref, xbuf, sems,
                       *, s_max, br, halo, chunk, t_dim):
     """Pallas kernel: lane-major stencil SpMM over one node chunk.
 
+    Each stencil offset's shifted window of x is fetched by its own DMA
+    (double-buffered) — arbitrary element offsets are fine for DMAs, while
+    dynamic lane slicing in-register is not supported by Mosaic.
+
     off_ref:    (s_max,) scalar-prefetch stencil offsets
-    xext_hbm:   (t, br, nrb_pad + 2*halo) in HBM/ANY — manually DMA'd, since
-                the per-chunk windows overlap by 2*halo (BlockSpec can't).
+    xext_hbm:   (t, br, nrb_pad + 2*halo) in ANY/HBM
     blocks_ref: (s_max, br, br, chunk) VMEM (pipelined per grid step)
     out_ref:    (t, br, chunk) VMEM
-    xscratch:   (t, br, chunk + 2*halo) VMEM
+    xbuf:       (2, t, br, chunk) VMEM double buffer
     """
     i = pl.program_id(0)
-    copy = pltpu.make_async_copy(
-        xext_hbm.at[:, :, pl.ds(i * chunk, chunk + 2 * halo)], xscratch, sem
-    )
-    copy.start()
-    copy.wait()
 
-    # per-m accumulators carried as a tuple (Mosaic has no scatter-add)
+    def start_dma(s, slot):
+        start = i * chunk + halo + off_ref[s]
+        return pltpu.make_async_copy(
+            xext_hbm.at[:, :, pl.ds(start, chunk)], xbuf.at[slot], sems.at[slot]
+        )
+
+    start_dma(0, 0).start()
+
     def body(s, carry):
-        off = off_ref[s]
+        slot = jax.lax.rem(s, 2)
+
+        @pl.when(s + 1 < s_max)
+        def _():
+            start_dma(s + 1, jax.lax.rem(s + 1, 2)).start()
+
+        start_dma(s, slot).wait()
         new = []
         for m in range(br):
             acc = carry[m]
             for k in range(br):
-                xs = xscratch[:, k, pl.ds(halo + off, chunk)]
-                acc = acc + blocks_ref[s, m, k][None, :] * xs
+                acc = acc + blocks_ref[s, m, k][None, :] * xbuf[slot, :, k, :]
             new.append(acc)
         return tuple(new)
 
     y0 = tuple(jnp.zeros((t_dim, chunk), jnp.float32) for _ in range(br))
     y = jax.lax.fori_loop(0, s_max, body, y0)
-    out_ref[:] = jnp.stack(y, axis=1).astype(out_ref.dtype)
+    for m in range(br):
+        out_ref[:, m, :] = y[m].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
@@ -301,8 +312,8 @@ def stencil_bsr_spmm_t_pallas(a, xt: jax.Array, chunk: int = 4096,
             (t_dim, br, chunk), lambda i, s: (0, 0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((t_dim, br, chunk + 2 * halo), xt.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, t_dim, br, chunk), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(

@@ -49,6 +49,7 @@ from prealps_tpu.ops.blockops import (
     pivoted_cholesky,
     psum,
     right_tri_solve,
+    tri_inv,
 )
 from prealps_tpu.solvers.panels import LAYOUTS, NT
 
@@ -138,8 +139,9 @@ def _iter_omin(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
     u = chol_masked(c, mask)
     breakdown = jnp.any(jnp.isnan(u))
     u = jnp.where(breakdown, jnp.eye(u.shape[0], dtype=dtype), u)
-    p = ops.right_solve(u, p)
-    ap = ops.right_solve(u, ap)
+    u_inv = tri_inv(u)   # one t×t inversion; panel trisolves become matmuls
+    p = ops.mix(p, u_inv)
+    ap = ops.mix(ap, u_inv)
     # --- alpha and update (ecg.c:330-339) ---
     alpha = _gram(ops, p, r, axis_name)
     x_blk = ops.update(x_blk, p, alpha)
@@ -182,8 +184,9 @@ def _iter_odir(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
     u = chol_masked(c, mask)
     breakdown = jnp.any(jnp.isnan(u))
     u = jnp.where(breakdown, jnp.eye(u.shape[0], dtype=dtype), u)
-    p = ops.right_solve(u, p)
-    ap = ops.right_solve(u, ap)
+    u_inv = tri_inv(u)
+    p = ops.mix(p, u_inv)
+    ap = ops.mix(ap, u_inv)
     # --- alpha (ecg.c:437-443) ---
     alpha = _gram(ops, p, r, axis_name)
     if opts.adaptive:
@@ -246,12 +249,13 @@ def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, re
     u = chol_masked(mu, mask)
     breakdown = jnp.any(jnp.isnan(u))
     u = jnp.where(breakdown, jnp.eye(t, dtype=dtype), u)
-    p = ops.right_solve(u, p)
-    ap = ops.right_solve(u, ap)
-    z = ops.right_solve(u, z)
-    alpha = left_trit_solve(u, alpha) * mask[:, None]
-    beta1 = left_trit_solve(u, right_tri_solve(u, beta1))
-    beta2 = right_tri_solve(u, beta2)
+    u_inv = tri_inv(u)   # one t×t inversion; all factor applications below
+    p = ops.mix(p, u_inv)
+    ap = ops.mix(ap, u_inv)
+    z = ops.mix(z, u_inv)
+    alpha = jnp.einsum("dr,dk->rk", u_inv, alpha, precision=HIGHEST) * mask[:, None]
+    beta1 = jnp.einsum("dr,dk,ks->rs", u_inv, beta1, u_inv, precision=HIGHEST)
+    beta2 = jnp.einsum("dk,ks->ds", beta2, u_inv, precision=HIGHEST)
 
     # --- Z -= V beta (ecg.c:590-591) ---
     z = ops.downdate(z, p, beta1)

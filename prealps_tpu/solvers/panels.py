@@ -53,6 +53,8 @@ class NT:
         """P Q (direction mixing by an orthogonal t×t Q)."""
         return jnp.einsum("mt,ts->ms", p, q, precision=HIGHEST)
 
+    mix = rotate  # same operation: right-multiply by a small matrix
+
     @staticmethod
     def scale_dirs(p, mask):
         return p * mask[None, :]
@@ -105,6 +107,8 @@ class TBN:
     @staticmethod
     def rotate(p, q):
         return jnp.einsum("d...,dr->r...", p, q, precision=HIGHEST)
+
+    mix = rotate  # same operation: right-multiply by a small matrix
 
     @staticmethod
     def scale_dirs(p, mask):
