@@ -126,14 +126,24 @@ class DistributedECG:
             opts = _dc_replace(opts, tol=inner_tol)
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
+        lane_major_bj = (
+            opts.layout == "tbn" and precond in ("block_jacobi", "bj")
+        )
+        mbn = None
+        if lane_major_bj:
+            # device-built block Jacobi: node-block size, multiple of 8
+            mbn = max(8, (int(block_size or 1024) // br // 8) * 8)
         if layout is None:
             if fmt == "stencil":
                 import math
 
                 from prealps_tpu.core.layout import contiguous_row_layout
 
+                mult = math.lcm(8, br)
+                if mbn is not None:
+                    mult = math.lcm(mult, mbn * br)
                 layout = contiguous_row_layout(
-                    a.shape[0], nshards, row_multiple=math.lcm(8, br)
+                    a.shape[0], nshards, row_multiple=mult
                 )
             else:
                 layout = build_row_layout(a, nshards)
@@ -185,10 +195,19 @@ class DistributedECG:
 
         bj_mode = "cholesky"
         cheb_static = None
-        if precond in ("block_jacobi", "bj"):
-            if lane_major:
-                raise ValueError("block_jacobi not yet supported with layout='tbn'; "
-                                 "use precond='chebyshev'")
+        if precond in ("block_jacobi", "bj") and lane_major:
+            # block Jacobi assembled and inverted ON DEVICE from the stencil
+            # (no host transfer of dense factors; direct/device_bj.py)
+            from prealps_tpu.direct.device_bj import build_device_block_jacobi
+
+            assert fmt == "stencil"
+            inv5 = jax.jit(
+                build_device_block_jacobi, static_argnames=("mbn", "method")
+            )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
+            bj_operands = (inv5,)
+            bj_specs = (P(AXIS, None, None, None, None),)
+            precond_kind = "bj_lane"
+        elif precond in ("block_jacobi", "bj"):
             if block_size is not None:
                 nblocks_per_shard = max(1, -(-mpl // block_size))
             bj = build_sharded_block_jacobi(a_pad, layout, nblocks_per_shard, dtype=dtype)
@@ -300,7 +319,12 @@ class DistributedECG:
                     )
                 return block_ell_spmm(local, x_full)
 
-            if precond_kind == "bj":
+            if precond_kind == "bj_lane":
+                from prealps_tpu.direct.device_bj import bj_apply_lane_major
+
+                (inv5_loc,) = bj_ops
+                m_apply = lambda z: bj_apply_lane_major(inv5_loc, z)
+            elif precond_kind == "bj":
                 m_apply = BlockJacobi(*bj_ops, mode=bj_mode).apply
             elif precond_kind == "chebyshev":
                 from prealps_tpu.precond.chebyshev import cheby_recurrence

@@ -237,3 +237,29 @@ class TestTwoLevelMesh:
         )
         out = np.asarray(fn(jnp.asarray(v)))
         np.testing.assert_allclose(out, np.full(8, v.sum()), rtol=1e-12)
+
+
+class TestDeviceBlockJacobi:
+    def test_tbn_device_bj(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused",
+                          layout="tbn")
+        s = DistributedECG.build(
+            ela_small, nshards=2, opts=opts, fmt="stencil", br=3,
+            precond="block_jacobi", block_size=96,
+        )
+        x, info = s.solve(ela_b)
+        assert _relres(ela_small, x, ela_b) < 2e-5
+
+    def test_tbn_device_bj_beats_noprec(self, ela_small, ela_b):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=3000, variant="odir_fused",
+                          layout="tbn")
+        s0 = DistributedECG.build(
+            ela_small, nshards=2, opts=opts, fmt="stencil", br=3, precond="none"
+        )
+        s1 = DistributedECG.build(
+            ela_small, nshards=2, opts=opts, fmt="stencil", br=3,
+            precond="block_jacobi", block_size=96,
+        )
+        x0, i0 = s0.solve(ela_b)
+        x1, i1 = s1.solve(ela_b)
+        assert i1["iters"] < i0["iters"]
