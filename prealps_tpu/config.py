@@ -6,10 +6,10 @@ dtype policy:
 
 * ``float64`` — bit-comparable correctness path. Used by the CPU test suite
   (`jax_enable_x64`) and available on TPU through XLA's f64 emulation (slow).
-* ``float32`` — the TPU fast path. Critical reductions (Gram matrices,
-  residual norms, CholQR) can optionally run in compensated "double-float"
-  arithmetic (see ops/doublefloat.py) to keep enlarged-CG convergence intact
-  at tight tolerances.
+* ``float32`` — the TPU fast path. All matmuls request HIGHEST precision
+  (true-f32 MXU passes), and tolerances below the f32 attainable floor are
+  reached through mixed-precision iterative refinement (f64 residuals on the
+  host, f32 inner solves on device — see parallel/driver.DistributedECG).
 """
 
 from __future__ import annotations
@@ -40,22 +40,22 @@ class Precision:
     Attributes:
       vec: dtype of the long (n × t) vectors / matrix values.
       gram: dtype used for Gram-matrix accumulation and small factorizations.
-      compensated: if True and vec==float32, Gram products and norms use
-        two-float (double-float) compensated accumulation.
+      refine: if True and vec==float32, drivers run mixed-precision
+        iterative refinement to reach tolerances below the f32 floor.
     """
 
     vec: jnp.dtype
     gram: jnp.dtype
-    compensated: bool = False
+    refine: bool = False
 
     @staticmethod
-    def make(dtype=None, compensated: bool | None = None) -> "Precision":
+    def make(dtype=None, refine: bool | None = None) -> "Precision":
         dtype = dtype or default_dtype()
         dtype = jnp.dtype(dtype)
-        if compensated is None:
-            compensated = dtype == jnp.float32 and on_tpu()
+        if refine is None:
+            refine = dtype == jnp.float32
         gram = jnp.float64 if dtype == jnp.float64 else jnp.float32
-        return Precision(vec=dtype, gram=gram, compensated=compensated)
+        return Precision(vec=dtype, gram=gram, refine=refine)
 
 
 def enable_x64() -> None:
