@@ -4,10 +4,9 @@ The TPU-native analog of the reference's example drivers
 (reference: examples/test_ecg_prealps_op.c): build the operator (load/scale/
 partition/distribute — reference: utils/operator.c preAlps_OperatorBuild),
 build the preconditioner, then run the solver. Here the entire RCI loop is a
-single jitted shard_map program: local SpMM on row panels with an all-gather
-of the X panel (the round-1 halo strategy; neighbor collective-permute halo
-is the planned upgrade, see SURVEY.md §7 stage 3), psum for every Gram
-reduction.
+single jitted shard_map program: local SpMM on row panels — stencil format
+exchanges only halo boundary slices via ppermute; ELL/block-ELL formats
+all-gather the X panel — with psum for every Gram reduction.
 """
 
 from __future__ import annotations
