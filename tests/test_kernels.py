@@ -207,3 +207,39 @@ class TestTimers:
             pass
         assert t.count["phase_a"] == 2
         assert "phase_a" in t.summary()
+
+
+class TestDoubleFloat:
+    def test_df_dot_beats_f32(self, rng):
+        from prealps_tpu.ops.doublefloat import df_dot
+
+        n = 1 << 18
+        x64 = rng.standard_normal(n)
+        y64 = rng.standard_normal(n)
+        x32 = jnp.asarray(x64, dtype=jnp.float32)
+        y32 = jnp.asarray(y64, dtype=jnp.float32)
+        exact = float(np.dot(np.asarray(x32, dtype=np.float64),
+                             np.asarray(y32, dtype=np.float64)))
+        naive = float(jnp.dot(x32, y32))
+        hi, lo = jax.jit(df_dot)(x32, y32)
+        comp = float(np.float64(hi) + np.float64(lo))
+        assert abs(comp - exact) <= abs(naive - exact)
+        assert abs(comp - exact) < 1e-6 * max(abs(exact), 1.0)
+
+    def test_df_norm_accuracy(self, rng):
+        from prealps_tpu.ops.doublefloat import df_norm
+
+        x64 = rng.standard_normal(100000)
+        x32 = jnp.asarray(x64, dtype=jnp.float32)
+        exact = float(np.linalg.norm(np.asarray(x32, dtype=np.float64)))
+        got = float(jax.jit(df_norm)(x32))
+        assert abs(got - exact) < 1e-5 * exact
+
+    def test_two_sum_exact(self):
+        from prealps_tpu.ops.doublefloat import two_sum
+
+        a = jnp.float32(1.0)
+        b = jnp.float32(1e-8)
+        s, e = two_sum(a, b)
+        # error term recovers what f32 addition lost
+        assert float(np.float64(s) + np.float64(e)) == 1.0 + 1e-8
