@@ -152,40 +152,53 @@ def stencil_bsr_spmm(a, x: jax.Array) -> jax.Array:
     return y.reshape(nrb * br, t)
 
 
-def stencil_scan_accumulate(blocks_t, offsets_arr, x_ext, halo: int):
-    """Core lane-major stencil accumulation as a lax.scan over offsets.
+def stencil_scan_accumulate(blocks_t, offsets, x_ext, halo: int):
+    """Core lane-major stencil accumulation.
 
-    blocks_t: (S, br, br, nrb_loc); offsets_arr: (S,) int32;
+    blocks_t: (S, br, br, nrb_loc); offsets: STATIC tuple of S ints;
     x_ext: (t, br, nrb_loc + 2*halo) extended panel (halo already attached).
-    Scanning keeps the traced graph small (S steps traced once) — critical
-    for compile time with the stencil inside solver loops.
+
+    The shifted views are taken with STATIC slices (dynamic lane-dim slicing
+    is slow in XLA and unsupported in this Mosaic build), stacked, and the
+    contraction runs as a lax.scan over the offset axis (small traced graph).
+    Set PREALPS_STENCIL_IMPL=unrolled to trade compile time for the fully
+    unrolled variant (no scan overhead).
     """
+    import os
+
     s_max, br, _, nrb = blocks_t.shape
     t = x_ext.shape[0]
-    y0 = jnp.zeros((t, br, nrb), dtype=x_ext.dtype)
+    impl = os.environ.get("PREALPS_STENCIL_IMPL", "shift_scan")
+
+    if impl == "unrolled":
+        y = [jnp.zeros((t, nrb), dtype=x_ext.dtype) for _ in range(br)]
+        for s, off in enumerate(offsets):
+            xs = jax.lax.slice_in_dim(x_ext, halo + off, halo + off + nrb, axis=2)
+            for m in range(br):
+                acc = y[m]
+                for k in range(br):
+                    acc = acc + blocks_t[s, m, k][None, :] * xs[:, k, :]
+                y[m] = acc
+        return jnp.stack(y, axis=1)
+
+    xsh = jnp.stack([
+        jax.lax.slice_in_dim(x_ext, halo + off, halo + off + nrb, axis=2)
+        for off in offsets
+    ])  # (S, t, br, nrb)
 
     def step(y, inp):
-        off, blk = inp  # blk: (br, br, nrb)
-        xs = jax.lax.dynamic_slice(
-            x_ext, (jnp.int32(0), jnp.int32(0), jnp.int32(halo) + off),
-            (t, br, nrb),
-        )
+        blk, xs = inp  # (br, br, nrb), (t, br, nrb)
+        new = []
         for m in range(br):
-            acc = None
+            acc = y[m]
             for k in range(br):
-                term = blk[m, k][None, :] * xs[:, k, :]
-                acc = term if acc is None else acc + term
-            y = y.at[:, m, :].add(acc)
-        return y, None
+                acc = acc + blk[m, k][None, :] * xs[:, k, :]
+            new.append(acc)
+        return tuple(new), None
 
-    # unroll a few steps per scan iteration: full unrolling explodes compile
-    # time (the stencil appears ~10x inside solver loop bodies), pure scan
-    # adds ~0.3 ms/step pipeline overhead on TPU; unroll=9 balances both.
-    unroll = 9 if s_max % 9 == 0 else (3 if s_max % 3 == 0 else 1)
-    y, _ = jax.lax.scan(
-        step, y0, (offsets_arr.astype(jnp.int32), blocks_t), unroll=unroll
-    )
-    return y
+    y0 = tuple(jnp.zeros((t, nrb), dtype=x_ext.dtype) for _ in range(br))
+    y, _ = jax.lax.scan(step, y0, (blocks_t, xsh))
+    return jnp.stack(y, axis=1)
 
 
 def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
@@ -202,8 +215,7 @@ def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
     x_ext = jnp.concatenate(
         [xt[:, :, nrb - halo:], xt, xt[:, :, :halo]], axis=2
     )
-    offsets_arr = jnp.asarray(a.offsets, dtype=jnp.int32)
-    return stencil_scan_accumulate(a.blocks_t, offsets_arr, x_ext, halo)
+    return stencil_scan_accumulate(a.blocks_t, a.offsets, x_ext, halo)
 
 
 def panel_to_lane_major(x: jax.Array, br: int) -> jax.Array:

@@ -277,9 +277,8 @@ class DistributedECG:
                         x_ext = x_all[:, :, : nrb_loc + 2 * halo]
                     from prealps_tpu.ops.spmm import stencil_scan_accumulate
 
-                    offsets_arr = jnp.asarray(stencil_offsets, dtype=jnp.int32)
                     return stencil_scan_accumulate(
-                        blocks_t_loc, offsets_arr, x_ext, halo
+                        blocks_t_loc, stencil_offsets, x_ext, halo
                     )
                 x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
                 if fmt == "stencil":
