@@ -30,6 +30,9 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
+    if not on_tpu:
+        # CPU correctness path runs in real f64
+        jax.config.update("jax_enable_x64", True)
 
     nel = int(os.environ.get("PREALPS_BENCH_NEL", "36"))
     t = int(os.environ.get("PREALPS_BENCH_T", "12"))
