@@ -32,6 +32,7 @@ class ECGSolver:
     _scale_d: Optional[np.ndarray]
     _fn: object
     _dtype: np.dtype
+    n: int = 0
 
     @classmethod
     def build(
@@ -78,7 +79,8 @@ class ECGSolver:
         a_apply = lambda x: ell_spmm(ell, x)
 
         fn = jax.jit(lambda b: ecg_solve(a_apply, m_apply, b, opts))
-        return cls(opts=opts, _perm=perm, _scale_d=scale_d, _fn=fn, _dtype=dtype)
+        return cls(opts=opts, _perm=perm, _scale_d=scale_d, _fn=fn, _dtype=dtype,
+                   n=a.shape[0])
 
     def solve(self, b: np.ndarray):
         b = np.asarray(b)
