@@ -11,7 +11,6 @@ all-gather the X panel — with psum for every Gram reduction.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Optional
 
@@ -33,7 +32,6 @@ from prealps_tpu.core.layout import (
     permute_and_pad_matrix,
     unpad_from_padded,
 )
-from prealps_tpu.core.partition import nsplit, rcm_order
 from prealps_tpu.core.scaling import sym_rac_scaling
 from prealps_tpu.ops.formats import csr_to_ell
 from prealps_tpu.ops.spmm import ell_spmm
