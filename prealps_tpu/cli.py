@@ -47,15 +47,23 @@ def _common_parser(desc):
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="machine-readable output")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="print the residual history (iteration monitor)")
     return p
 
 
 def _dtype_of(args):
+    """Resolve the run dtype and make sure jax can actually honor it
+    (f64 silently degrades to f32 unless x64 is enabled)."""
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
     if args.dtype == "f32":
         return np.float32
-    if args.dtype == "f64":
+    if args.dtype == "f64" or not on_tpu:
+        jax.config.update("jax_enable_x64", True)
         return np.float64
-    return None
+    return np.float32
 
 
 def _report(args, a, b, x, info, wall):
@@ -68,6 +76,12 @@ def _report(args, a, b, x, info, wall):
     if args.json:
         print(json.dumps(out))
     else:
+        if getattr(args, "verbose", False) and "history" in info:
+            h = info["history"]
+            h = h[h >= 0]
+            step = max(1, len(h) // 50)
+            for i in range(0, len(h), step):
+                print(f"Iteration: {i:5d}  res: {h[i]:.6e}")
         for k, v in out.items():
             print(f"{k:>12}: {v}")
     return 0 if relres < 100 * args.tol else 1
