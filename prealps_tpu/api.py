@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from prealps_tpu.core.partition import BlockArrowStruct, permute
+from prealps_tpu.core.partition import permute
 from prealps_tpu.core.scaling import sym_rac_scaling
 from prealps_tpu.ops.formats import csr_to_ell
 from prealps_tpu.ops.spmm import ell_spmm

@@ -12,7 +12,6 @@ All functions are jittable and elementwise-vectorised.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -14,11 +14,8 @@ matrix. Dense panels throughout — the candidate sets are k..2k columns.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from prealps_tpu.ops.blockops import HIGHEST, pivoted_cholesky
 

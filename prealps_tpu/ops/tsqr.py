@@ -10,12 +10,10 @@ log2(nblocks) levels, each a small (2t × t) factorization.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from prealps_tpu.ops.blockops import HIGHEST, psum
+from prealps_tpu.ops.blockops import HIGHEST
 
 
 def tsqr_r(x: jax.Array, nblocks: int = 8) -> jax.Array:

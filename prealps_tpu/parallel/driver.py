@@ -34,7 +34,6 @@ from prealps_tpu.core.layout import (
 )
 from prealps_tpu.core.scaling import sym_rac_scaling
 from prealps_tpu.ops.formats import csr_to_ell
-from prealps_tpu.ops.spmm import ell_spmm
 from prealps_tpu.precond.block_jacobi import BlockJacobi, build_block_jacobi
 from prealps_tpu.parallel.mesh import make_mesh
 from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve
@@ -151,7 +150,6 @@ class DistributedECG:
 
         from prealps_tpu.ops.formats import (
             BlockEllMatrix,
-            StencilBsrMatrix,
             csr_to_block_ell,
             csr_to_stencil_bsr,
         )

@@ -37,7 +37,6 @@ except ImportError:  # pragma: no cover
 
 from prealps_tpu.core.partition import block_arrow_structure, nsplit, permute, rcm_order
 from prealps_tpu.core.scaling import sym_rac_scaling
-from prealps_tpu.ops.formats import csr_to_ell
 from prealps_tpu.parallel.mesh import make_mesh
 from prealps_tpu.precond.lorasc import schur_complement_dense
 from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve

@@ -45,10 +45,8 @@ import numpy as np
 from prealps_tpu.ops.blockops import (
     HIGHEST,
     chol_masked,
-    left_trit_solve,
     pivoted_cholesky,
     psum,
-    right_tri_solve,
     tri_inv,
 )
 from prealps_tpu.solvers.panels import LAYOUTS, NT
