@@ -243,3 +243,62 @@ class TestDoubleFloat:
         s, e = two_sum(a, b)
         # error term recovers what f32 addition lost
         assert float(np.float64(s) + np.float64(e)) == 1.0 + 1e-8
+
+
+class TestTwoLevel:
+    def test_block_low_modes_orthonormal(self, rng):
+        import jax.numpy as jnp
+
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.core.layout import contiguous_row_layout, permute_and_pad_matrix
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.direct.device_bj import build_device_block_jacobi
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.precond.twolevel import block_low_modes, coarse_matrix_host
+
+        a, _ = sym_rac_scaling(elasticity3d(6, 5, 5))
+        mbn, br = 24, 3
+        lay = contiguous_row_layout(a.shape[0], 1, row_multiple=mbn * br)
+        apad = permute_and_pad_matrix(a, lay)
+        sb = csr_to_stencil_bsr_t(apad, br=br)
+        inv5 = build_device_block_jacobi(sb.blocks_t, sb.offsets, mbn=mbn)
+        y5 = block_low_modes(inv5, q=4)
+        nb = y5.shape[0]
+        y = np.asarray(y5).reshape(nb, -1, 4)
+        for b in range(nb):
+            g = y[b].T @ y[b]
+            np.testing.assert_allclose(g, np.eye(4), atol=1e-8)
+        ac = coarse_matrix_host(apad, np.asarray(y5), br)
+        np.linalg.cholesky(ac)  # coarse operator SPD
+
+    def test_coarse_apply_is_projection_like(self, rng):
+        import jax.numpy as jnp
+
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.core.layout import contiguous_row_layout, permute_and_pad_matrix
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.direct.device_bj import build_device_block_jacobi
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+        from prealps_tpu.precond.twolevel import (
+            block_low_modes,
+            coarse_apply,
+            coarse_matrix_host,
+        )
+
+        a, _ = sym_rac_scaling(elasticity3d(6, 5, 5))
+        mbn, br = 24, 3
+        lay = contiguous_row_layout(a.shape[0], 1, row_multiple=mbn * br)
+        apad = permute_and_pad_matrix(a, lay)
+        sb = csr_to_stencil_bsr_t(apad, br=br)
+        inv5 = build_device_block_jacobi(sb.blocks_t, sb.offsets, mbn=mbn)
+        y5 = block_low_modes(inv5, q=4)
+        ac = coarse_matrix_host(apad, np.asarray(y5), br)
+        ac_inv = jnp.asarray(np.linalg.inv(ac))
+        # Q A Q == Q on the coarse space: (Q A) Z c == Z c
+        nrb = lay.n_pad // br
+        r = rng.standard_normal((2, br, nrb))
+        qr = coarse_apply(y5, ac_inv, jnp.asarray(r))
+        aqr = stencil_bsr_spmm_t(sb, qr)
+        qaqr = coarse_apply(y5, ac_inv, aqr)
+        np.testing.assert_allclose(np.asarray(qaqr), np.asarray(qr), rtol=1e-6, atol=1e-8)
