@@ -4,7 +4,9 @@
 Mirrors the reference's headline benchmark (BASELINE.md: ECG(t=12), tol=1e-5,
 block-Jacobi, 3-D elasticity n=145,563 "Ela400" — 5.28 s on 24 Xeon cores /
 2.16 s on 48). Here: the same problem family generated at the same scale
-(elasticity3d 36³ elements → n=147,852), solved on a single TPU chip.
+(elasticity3d 36³ elements → n=147,852, homogeneous like Ela400; set
+PREALPS_BENCH_HET=1 for the high-contrast layered variant), solved on a
+single TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 vs_baseline = reference_time / our_time (>1 ⇒ faster than the 24-proc
@@ -42,6 +44,7 @@ def main():
     fmt = os.environ.get("PREALPS_BENCH_FMT", "stencil")
     precond = os.environ.get("PREALPS_BENCH_PRECOND", "chebyshev")
     cheb_degree = int(os.environ.get("PREALPS_BENCH_CHEB_DEG", "8"))
+    heterogeneous = bool(int(os.environ.get("PREALPS_BENCH_HET", "0")))
     dtype = np.float32 if on_tpu else np.float64
 
     from prealps_tpu.core.generators import elasticity3d
@@ -49,14 +52,14 @@ def main():
     from prealps_tpu.solvers import ECGOptions
 
     t0 = time.time()
-    cache = f"/tmp/prealps_ela_{nel}.npz"
+    cache = f"/tmp/prealps_ela_{nel}_{int(heterogeneous)}.npz"
     if os.path.exists(cache):
         import scipy.sparse as sp
 
         d = np.load(cache)
         a = sp.csr_matrix((d["data"], d["indices"], d["indptr"]), shape=tuple(d["shape"]))
     else:
-        a = elasticity3d(nel, nel, nel)
+        a = elasticity3d(nel, nel, nel, heterogeneous=heterogeneous)
         np.savez(cache, data=a.data, indices=a.indices, indptr=a.indptr,
                  shape=np.array(a.shape))
     n, nnz = a.shape[0], a.nnz
@@ -108,6 +111,7 @@ def main():
         "converged": bool(relres < 10 * tol),
         "fmt": fmt,
         "precond": precond,
+        "heterogeneous": heterogeneous,
         "build_s": round(build_t, 2),
         "compile_s": round(warm_t - tts, 2),
         "gen_s": round(gen_t, 2),
