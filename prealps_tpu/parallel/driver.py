@@ -410,11 +410,15 @@ class DistributedECG:
             x = np.zeros_like(b_eff)
             total_iters, rounds = 0, 0
             info = {}
+            prev_relres = np.inf
             for _ in range(max_refine_rounds):
                 r = b_eff - a @ x
                 relres = np.linalg.norm(r) / normb
                 if relres <= self.target_tol:
                     break
+                if relres > 0.5 * prev_relres:
+                    break  # stalled at the f32 floor; stop burning iterations
+                prev_relres = relres
                 dx, info = self._solve_scaled_once(r)
                 x = x + dx
                 total_iters += info["iters"]
