@@ -42,7 +42,9 @@ def main():
     maxiter = int(os.environ.get("PREALPS_BENCH_MAXITER", "3000"))
     block_size = int(os.environ.get("PREALPS_BENCH_BJ", "1024"))
     fmt = os.environ.get("PREALPS_BENCH_FMT", "stencil")
-    precond = os.environ.get("PREALPS_BENCH_PRECOND", "chebyshev")
+    precond = os.environ.get("PREALPS_BENCH_PRECOND", "block_jacobi")
+    # fastest measured stencil implementation (docs/PERFORMANCE.md)
+    os.environ.setdefault("PREALPS_STENCIL_IMPL", "unrolled")
     cheb_degree = int(os.environ.get("PREALPS_BENCH_CHEB_DEG", "8"))
     heterogeneous = bool(int(os.environ.get("PREALPS_BENCH_HET", "0")))
     dtype = np.float32 if on_tpu else np.float64
