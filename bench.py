@@ -30,6 +30,12 @@ def main():
 
     # true-f32 MXU accumulation everywhere (bf16 passes break CG convergence)
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent executable cache: repeat runs skip the (remote) compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/prealps_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     if not on_tpu:
