@@ -53,6 +53,7 @@ def main():
     os.environ.setdefault("PREALPS_STENCIL_IMPL", "unrolled")
     cheb_degree = int(os.environ.get("PREALPS_BENCH_CHEB_DEG", "8"))
     heterogeneous = bool(int(os.environ.get("PREALPS_BENCH_HET", "0")))
+    inner_tol = float(os.environ.get("PREALPS_BENCH_INNER_TOL", "1e-3"))
     dtype = np.float32 if on_tpu else np.float64
 
     from prealps_tpu.core.generators import elasticity3d
@@ -85,7 +86,7 @@ def main():
         cheb_degree=cheb_degree)
     solver = DistributedECG.build(
         a, nshards=1, opts=opts, precond=precond,
-        dtype=dtype, fmt=fmt, br=3, **kwargs,
+        dtype=dtype, fmt=fmt, br=3, inner_tol=inner_tol, **kwargs,
     )
     build_t = time.time() - t0
     _log(f"solver built ({build_t:.0f}s); compiling + warm solve...")
