@@ -123,11 +123,18 @@ def block_ell_spmm_pallas(
 
 
 def spmm(a, x: jax.Array) -> jax.Array:
-    """Dispatch on format; dense jnp arrays fall through to a plain matmul."""
+    """Dispatch on format; dense jnp arrays fall through to a plain matmul.
+    Stencil formats expect their native x layout ((n,t) resp. (t,br,nrb))."""
+    from prealps_tpu.ops.formats import StencilBsrMatrix, StencilBsrTMatrix
+
     if isinstance(a, EllMatrix):
         return ell_spmm(a, x)
     if isinstance(a, BlockEllMatrix):
         return block_ell_spmm(a, x)
+    if isinstance(a, StencilBsrMatrix):
+        return stencil_bsr_spmm(a, x)
+    if isinstance(a, StencilBsrTMatrix):
+        return stencil_bsr_spmm_t(a, x)
     return a @ x
 
 

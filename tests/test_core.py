@@ -138,3 +138,25 @@ class TestLayout:
         for s, d in enumerate(lay.deps):
             assert s not in d
             assert all(0 <= q < 8 for q in d)
+
+
+class TestIO:
+    def test_vector_roundtrip(self, tmp_path, rng):
+        from prealps_tpu.core.io import load_vector, save_vector
+
+        v = rng.standard_normal(57)
+        p = str(tmp_path / "v.txt")
+        save_vector(p, v)
+        v2 = load_vector(p)
+        np.testing.assert_allclose(v2, v, rtol=1e-12)
+
+    def test_matrix_roundtrip(self, tmp_path):
+        import scipy.sparse as sp
+
+        from prealps_tpu.core.io import load_mtx, save_mtx
+
+        a = sp.random(30, 30, density=0.2, random_state=np.random.RandomState(1)).tocsr()
+        p = str(tmp_path / "a.mtx")
+        save_mtx(p, a)
+        a2 = load_mtx(p)
+        assert abs(a - a2).max() < 1e-14
