@@ -43,7 +43,10 @@ def _common_parser(desc):
     p.add_argument("-t", "--tol", type=float, default=1e-5)
     p.add_argument("-i", "--maxiter", type=int, default=10000)
     p.add_argument("--nshards", type=int, default=1)
-    p.add_argument("--fmt", default="ell", choices=["ell", "block_ell", "block_ell_xla"])
+    p.add_argument("--fmt", default="ell",
+                   choices=["ell", "stencil", "block_ell", "block_ell_xla"])
+    p.add_argument("--layout", default="nt", choices=["nt", "tbn"],
+                   help="panel layout (tbn = lane-major TPU fast path)")
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="machine-readable output")
@@ -92,7 +95,7 @@ def ecg_main(argv=None):
     p = _common_parser("Enlarged CG with block-Jacobi preconditioning")
     p.add_argument("--nblocks-per-shard", type=int, default=1)
     p.add_argument("--precond", default="block_jacobi",
-                   choices=["block_jacobi", "none"])
+                   choices=["block_jacobi", "chebyshev", "none"])
     args = p.parse_args(argv)
 
     from prealps_tpu.parallel.driver import DistributedECG
@@ -102,7 +105,8 @@ def ecg_main(argv=None):
     rng = np.random.default_rng(args.seed)
     b = rng.standard_normal(a.shape[0])
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
-                      variant=args.ortho_alg, adaptive=args.adaptive)
+                      variant=args.ortho_alg, adaptive=args.adaptive,
+                      layout=args.layout)
     solver = DistributedECG.build(
         a, nshards=args.nshards, opts=opts, precond=args.precond,
         nblocks_per_shard=args.nblocks_per_shard, dtype=_dtype_of(args),

@@ -74,6 +74,8 @@ class DistributedLorascECG:
     deflated: int
     _fn: object
     _operands: tuple
+    target_tol: float = 0.0
+    a_scaled: object = None
 
     @classmethod
     def build(
@@ -85,12 +87,21 @@ class DistributedLorascECG:
         max_deflation: int = 64,
         scale: bool = True,
         dtype=None,
+        refine: Optional[bool] = None,
+        inner_tol: float = 1e-3,
     ) -> "DistributedLorascECG":
         a = sp.csr_matrix(a)
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
         scale_d = None
         if scale:
             a, scale_d = sym_rac_scaling(a)
+        target_tol = opts.tol
+        if refine is None:
+            refine = dtype == np.float32 and opts.tol < inner_tol
+        if refine:
+            from dataclasses import replace as _dc_replace
+
+            opts = _dc_replace(opts, tol=inner_tol)
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
         n = a.shape[0]
@@ -321,12 +332,50 @@ class DistributedLorascECG:
             nshards=nshards, ni_max=ni_max, ng_max=ng_max, n=n,
             scale_d=scale_d, arrow_perm=arrow.perm, row_of=row_of,
             opts=opts, deflated=int(sel.size), _fn=fn, _operands=(operands,),
+            target_tol=target_tol, a_scaled=a if refine else None,
         )
 
-    def solve(self, b: np.ndarray):
+    def solve(self, b: np.ndarray, max_refine_rounds: int = 8):
         b = np.asarray(b)
+        if self.a_scaled is not None:
+            # mixed-precision refinement on the scaled system (f32 devices)
+            b_eff = self.scale_d * b if self.scale_d is not None else b.astype(np.float64)
+            normb = np.linalg.norm(b_eff)
+            x = np.zeros_like(b_eff)
+            total_iters, rounds = 0, 0
+            info = {}
+            prev_relres = np.inf
+            for _ in range(max_refine_rounds):
+                r = b_eff - self.a_scaled @ x
+                relres = np.linalg.norm(r) / normb
+                if relres <= self.target_tol or relres > 0.5 * prev_relres:
+                    break
+                prev_relres = relres
+                dx, info = self._solve_scaled_once(r)
+                x = x + dx
+                total_iters += info["iters"]
+                rounds += 1
+                if info.get("breakdown"):
+                    break
+            info = dict(info or {})
+            info["iters"] = total_iters
+            info["refine_rounds"] = rounds
+            if self.scale_d is not None:
+                x = self.scale_d * x
+            return x, info
+        return self._solve_scaled_once_unscaled(b)
+
+    def _solve_scaled_once_unscaled(self, b):
         dtype = np.asarray(self._operands[0]["ell_vals"]).dtype
         b_eff = (self.scale_d * b if self.scale_d is not None else b).astype(dtype)
+        x, info = self._solve_scaled_once(b_eff)
+        if self.scale_d is not None:
+            x = self.scale_d * x
+        return x, info
+
+    def _solve_scaled_once(self, b_eff: np.ndarray):
+        dtype = np.asarray(self._operands[0]["ell_vals"]).dtype
+        b_eff = np.asarray(b_eff).astype(dtype)
         b_arrow = b_eff[self.arrow_perm]
         n_pad = self.row_of.shape[0]
         b_pad = np.zeros(n_pad, dtype=dtype)
@@ -338,8 +387,6 @@ class DistributedLorascECG:
         x_arrow[self.row_of[real]] = x_pad[real]
         x = np.empty(self.n)
         x[self.arrow_perm] = x_arrow
-        if self.scale_d is not None:
-            x = self.scale_d * x
         info = {
             "iters": int(res.iters), "res": float(res.res),
             "normb": float(res.normb), "breakdown": bool(res.breakdown),

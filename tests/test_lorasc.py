@@ -134,3 +134,17 @@ class TestDistributedLorasc:
         x1, i1 = s_lo.solve(b)
         x2, i2 = s_bj.solve(b)
         assert i1["iters"] < i2["iters"]
+
+
+class TestDistributedLorascF32:
+    def test_f32_refinement_reaches_tight_tol(self, ela_small, rng):
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-7, maxiter=2000, variant="odir_fused")
+        solver = DistributedLorascECG.build(
+            ela_small, nshards=4, opts=opts, dtype=np.float32
+        )
+        x, info = solver.solve(b)
+        assert info.get("refine_rounds", 0) >= 1
+        assert _relres(ela_small, x, b) < 1e-5
