@@ -44,6 +44,7 @@ class ECGSolver:
         dtype=None,
         **precond_kwargs,
     ) -> "ECGSolver":
+        jax.config.update("jax_default_matmul_precision", "highest")
         a = sp.csr_matrix(a)
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
         scale_d = None

@@ -17,16 +17,23 @@ import numpy as np
 
 
 def _load_matrix(args):
+    import os
+
     from prealps_tpu.core.generators import elasticity3d, poisson3d
     from prealps_tpu.core.io import load_mtx
 
     if args.matrix:
+        if not os.path.exists(args.matrix):
+            raise SystemExit(f"error: matrix file not found: {args.matrix}")
         return load_mtx(args.matrix)
-    if args.generate.startswith("ela"):
+    try:
         nx, ny, nz = (int(v) for v in args.size.split("x"))
-        return elasticity3d(nx, ny, nz)
-    nx, ny, nz = (int(v) for v in args.size.split("x"))
-    return poisson3d(nx, ny, nz)
+    except ValueError:
+        raise SystemExit(
+            f"error: --size must look like 12x10x10, got {args.size!r}"
+        )
+    gen = elasticity3d if args.generate.startswith("ela") else poisson3d
+    return gen(nx, ny, nz)
 
 
 def _common_parser(desc):

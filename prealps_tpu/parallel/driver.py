@@ -108,6 +108,10 @@ class DistributedECG:
         cheb_degree: int = 8,
         cheb_kappa: float = 30.0,
     ) -> "DistributedECG":
+        # f32 solves need true-f32 MXU passes: default (bf16) matmul
+        # precision inside the small factorizations silently breaks CG
+        # orthogonality on TPU (HIGHEST is a no-op on CPU/f64).
+        jax.config.update("jax_default_matmul_precision", "highest")
         a = sp.csr_matrix(a)
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
         scale_d = None

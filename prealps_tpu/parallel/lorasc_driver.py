@@ -90,6 +90,10 @@ class DistributedLorascECG:
         refine: Optional[bool] = None,
         inner_tol: float = 1e-3,
     ) -> "DistributedLorascECG":
+        # f32 solves need true-f32 MXU passes: default (bf16) matmul
+        # precision inside the small factorizations silently breaks CG
+        # orthogonality on TPU (HIGHEST is a no-op on CPU/f64).
+        jax.config.update("jax_default_matmul_precision", "highest")
         a = sp.csr_matrix(a)
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
         scale_d = None

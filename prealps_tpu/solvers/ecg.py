@@ -62,6 +62,18 @@ class ECGOptions:
     record_history: bool = True
     layout: str = "nt"           # nt | tbn (lane-major, TPU fast path)
 
+    def __post_init__(self):
+        if self.t < 1:
+            raise ValueError(f"enlarging factor t must be >= 1, got {self.t}")
+        if self.maxiter < 1:
+            raise ValueError(f"maxiter must be >= 1, got {self.maxiter}")
+        if not (self.tol > 0):
+            raise ValueError(f"tol must be positive, got {self.tol}")
+        if self.variant not in ("omin", "odir", "odir_fused"):
+            raise ValueError(f"unknown variant {self.variant!r}")
+        if self.layout not in ("nt", "tbn"):
+            raise ValueError(f"unknown layout {self.layout!r}")
+
 
 class ECGResult(NamedTuple):
     x: jax.Array            # local solution rows; shape = panel space shape
