@@ -25,7 +25,10 @@ from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve
 
 @dataclass
 class ECGSolver:
-    """Build once / solve many, single device."""
+    """Build once / solve many, single device.
+
+    float32 builds with a tolerance below the f32 floor run mixed-precision
+    iterative refinement (host-f64 residuals), like DistributedECG."""
 
     opts: ECGOptions
     _perm: Optional[np.ndarray]
@@ -33,6 +36,8 @@ class ECGSolver:
     _fn: object
     _dtype: np.dtype
     n: int = 0
+    target_tol: float = 0.0
+    _a_solver: object = None   # scaled+permuted matrix for refinement residuals
 
     @classmethod
     def build(
@@ -47,6 +52,12 @@ class ECGSolver:
         jax.config.update("jax_default_matmul_precision", "highest")
         a = sp.csr_matrix(a)
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
+        target_tol = opts.tol
+        refine = dtype == np.float32 and opts.tol < 1e-3
+        if refine:
+            from dataclasses import replace as _dc_replace
+
+            opts = _dc_replace(opts, tol=1e-3)
         scale_d = None
         if scale:
             a, scale_d = sym_rac_scaling(a)
@@ -81,21 +92,12 @@ class ECGSolver:
 
         fn = jax.jit(lambda b: ecg_solve(a_apply, m_apply, b, opts))
         return cls(opts=opts, _perm=perm, _scale_d=scale_d, _fn=fn, _dtype=dtype,
-                   n=a.shape[0])
+                   n=a.shape[0], target_tol=target_tol,
+                   _a_solver=a_solver if refine else None)
 
-    def solve(self, b: np.ndarray):
-        b = np.asarray(b)
-        b_eff = (self._scale_d * b if self._scale_d is not None else b).astype(self._dtype)
-        if self._perm is not None:
-            b_eff = b_eff[self._perm]
-        res = self._fn(jnp.asarray(b_eff))
-        x = np.asarray(res.x)
-        if self._perm is not None:
-            x_out = np.empty_like(x)
-            x_out[self._perm] = x
-            x = x_out
-        if self._scale_d is not None:
-            x = self._scale_d * x
+    def _solve_permuted(self, b_perm: np.ndarray):
+        """One device solve in the scaled+permuted space."""
+        res = self._fn(jnp.asarray(b_perm.astype(self._dtype)))
         info = {
             "iters": int(res.iters),
             "res": float(res.res),
@@ -104,4 +106,43 @@ class ECGSolver:
             "breakdown": bool(res.breakdown),
             "history": np.asarray(res.history),
         }
+        return np.asarray(res.x).astype(np.float64), info
+
+    def solve(self, b: np.ndarray, max_refine_rounds: int = 8):
+        b = np.asarray(b)
+        b_eff = (self._scale_d * b if self._scale_d is not None else b).astype(np.float64)
+        if self._perm is not None:
+            b_eff = b_eff[self._perm]
+
+        if self._a_solver is None:
+            x, info = self._solve_permuted(b_eff)
+        else:
+            a = self._a_solver
+            normb = np.linalg.norm(b_eff)
+            x = np.zeros_like(b_eff)
+            total_iters, rounds = 0, 0
+            info = {}
+            prev_relres = np.inf
+            for _ in range(max_refine_rounds):
+                r = b_eff - a @ x
+                relres = np.linalg.norm(r) / normb
+                if relres <= self.target_tol or relres > 0.5 * prev_relres:
+                    break
+                prev_relres = relres
+                dx, info = self._solve_permuted(r)
+                x = x + dx
+                total_iters += info["iters"]
+                rounds += 1
+                if info.get("breakdown"):
+                    break
+            info = dict(info or {})
+            info["iters"] = total_iters
+            info["refine_rounds"] = rounds
+
+        if self._perm is not None:
+            x_out = np.empty_like(x)
+            x_out[self._perm] = x
+            x = x_out
+        if self._scale_d is not None:
+            x = self._scale_d * x
         return x, info
