@@ -57,7 +57,8 @@ class ECGSolver:
         if refine:
             from dataclasses import replace as _dc_replace
 
-            opts = _dc_replace(opts, tol=1e-3)
+            opts = _dc_replace(opts, tol=1e-3,
+                               stall_window=opts.stall_window or 100)
         scale_d = None
         if scale:
             a, scale_d = sym_rac_scaling(a)

@@ -123,7 +123,12 @@ class DistributedECG:
         if refine:
             from dataclasses import replace as _dc_replace
 
-            opts = _dc_replace(opts, tol=inner_tol)
+            # inner solves: stop on stagnation (an early stop just hands the
+            # remaining work to the next refinement round)
+            opts = _dc_replace(
+                opts, tol=inner_tol,
+                stall_window=opts.stall_window or 100,
+            )
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
         lane_major_bj = (

@@ -105,7 +105,12 @@ class DistributedLorascECG:
         if refine:
             from dataclasses import replace as _dc_replace
 
-            opts = _dc_replace(opts, tol=inner_tol)
+            # inner solves: stop on stagnation (an early stop just hands the
+            # remaining work to the next refinement round)
+            opts = _dc_replace(
+                opts, tol=inner_tol,
+                stall_window=opts.stall_window or 100,
+            )
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
         n = a.shape[0]

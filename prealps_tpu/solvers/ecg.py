@@ -61,6 +61,12 @@ class ECGOptions:
     adaptive: bool = False       # dynamic search-direction reduction
     record_history: bool = True
     layout: str = "nt"           # nt | tbn (lane-major, TPU fast path)
+    stall_window: int = 0        # >0: stop after this many iterations without
+                                 # a 0.5% residual improvement. Default off —
+                                 # CG residuals plateau transiently, so this
+                                 # is only safe where an early stop is
+                                 # recoverable (refinement inner solves turn
+                                 # it on; the reference burns maxiter)
 
     def __post_init__(self):
         if self.t < 1:
@@ -98,6 +104,15 @@ class _State(NamedTuple):
     res: jax.Array
     breakdown: jax.Array
     history: jax.Array
+    best_res: jax.Array  # smallest residual seen (stagnation tracking)
+    stall: jax.Array     # iterations since meaningful improvement
+
+
+def _track_stall(state: "_State", res):
+    improved = res < 0.995 * state.best_res
+    best = jnp.minimum(state.best_res, res)
+    stall = jnp.where(improved, jnp.int32(0), state.stall + 1)
+    return best, stall
 
 
 def split_rhs(b: jax.Array, t: int, assign=None, ops=NT) -> jax.Array:
@@ -182,6 +197,7 @@ def _iter_omin(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
         it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
+        best_res=_track_stall(state, res)[0], stall=_track_stall(state, res)[1],
     )
 
 
@@ -226,6 +242,7 @@ def _iter_odir(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
         it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
+        best_res=_track_stall(state, res)[0], stall=_track_stall(state, res)[1],
     )
 
 
@@ -291,6 +308,7 @@ def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, re
         z=z_new, mask=mask, it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
+        best_res=_track_stall(state, res)[0], stall=_track_stall(state, res)[1],
     )
 
 
@@ -322,6 +340,7 @@ def ecg_init(
         x_blk=zeros, r=r0, p=p0, ap=ap0, p_prev=zeros, ap_prev=zeros, z=z0,
         mask=jnp.ones((t,), dtype), it=jnp.int32(0),
         res=normb.astype(dtype), breakdown=jnp.bool_(False), history=history,
+        best_res=normb.astype(dtype), stall=jnp.int32(0),
     )
     return state0, normb
 
@@ -344,6 +363,8 @@ def ecg_run(
     def cond(s: _State):
         bs = jnp.sum(s.mask)
         ok = (s.res > tol_abs) & (s.it < opts.maxiter) & (bs > 0) & (~s.breakdown)
+        if opts.stall_window > 0:
+            ok = ok & (s.stall < opts.stall_window)
         if it_stop is not None:
             ok = ok & (s.it < it_stop)
         return ok
