@@ -188,6 +188,17 @@ def stencil_scan_accumulate(blocks_t, offsets, x_ext, halo: int):
                 y[m] = acc
         return jnp.stack(y, axis=1)
 
+    if impl == "broadcast":
+        # per-offset fused broadcast-multiply + k-reduction: one pass over x
+        # and y per offset instead of br² separate FMA kernels
+        y = jnp.zeros((t, br, nrb), dtype=x_ext.dtype)
+        for s, off in enumerate(offsets):
+            xs = jax.lax.slice_in_dim(x_ext, halo + off, halo + off + nrb, axis=2)
+            y = y + jnp.sum(
+                blocks_t[s][None, :, :, :] * xs[:, None, :, :], axis=2
+            )
+        return y
+
     xsh = jnp.stack([
         jax.lax.slice_in_dim(x_ext, halo + off, halo + off + nrb, axis=2)
         for off in offsets

@@ -1,0 +1,119 @@
+"""Smoke tests: every module imports; CLI parsers accept their flags;
+miscellaneous combinations exercised nowhere else."""
+
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+MODULES = [
+    "prealps_tpu",
+    "prealps_tpu.api",
+    "prealps_tpu.cli",
+    "prealps_tpu.config",
+    "prealps_tpu.interop",
+    "prealps_tpu.native",
+    "prealps_tpu.core.io",
+    "prealps_tpu.core.scaling",
+    "prealps_tpu.core.generators",
+    "prealps_tpu.core.partition",
+    "prealps_tpu.core.layout",
+    "prealps_tpu.ops.formats",
+    "prealps_tpu.ops.spmm",
+    "prealps_tpu.ops.blockops",
+    "prealps_tpu.ops.cholqr",
+    "prealps_tpu.ops.tsqr",
+    "prealps_tpu.ops.tournament",
+    "prealps_tpu.ops.lanczos",
+    "prealps_tpu.ops.spmsv",
+    "prealps_tpu.ops.doublefloat",
+    "prealps_tpu.solvers.ecg",
+    "prealps_tpu.solvers.panels",
+    "prealps_tpu.solvers.checkpoint",
+    "prealps_tpu.precond.api",
+    "prealps_tpu.precond.block_jacobi",
+    "prealps_tpu.precond.chebyshev",
+    "prealps_tpu.precond.lorasc",
+    "prealps_tpu.precond.presc",
+    "prealps_tpu.precond.twolevel",
+    "prealps_tpu.direct.subdomain",
+    "prealps_tpu.direct.device_bj",
+    "prealps_tpu.parallel.mesh",
+    "prealps_tpu.parallel.driver",
+    "prealps_tpu.parallel.lorasc_driver",
+    "prealps_tpu.utils.timing",
+    "prealps_tpu.utils.debug",
+]
+
+
+@pytest.mark.parametrize("mod", MODULES)
+def test_imports(mod):
+    importlib.import_module(mod)
+
+
+class TestOptionsValidation:
+    def test_bad_options_rejected(self):
+        from prealps_tpu.solvers import ECGOptions
+
+        with pytest.raises(ValueError):
+            ECGOptions(t=0)
+        with pytest.raises(ValueError):
+            ECGOptions(maxiter=0)
+        with pytest.raises(ValueError):
+            ECGOptions(tol=-1.0)
+        with pytest.raises(ValueError):
+            ECGOptions(variant="bogus")
+        with pytest.raises(ValueError):
+            ECGOptions(layout="bogus")
+
+
+class TestStallGuard:
+    def test_stall_window_stops_plateau(self, ela_small):
+        """A deliberately hopeless solve (identity 'preconditioner', huge
+        maxiter, impossible tol) must stop within the stall window instead
+        of burning maxiter."""
+        from prealps_tpu.ops.formats import csr_to_ell
+        from prealps_tpu.ops.spmm import ell_spmm
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.solvers import ECGOptions, ecg_solve
+
+        a, _ = sym_rac_scaling(ela_small)
+        ae = csr_to_ell(a, dtype=np.float32)
+        b = jnp.asarray(
+            np.random.default_rng(0).standard_normal(a.shape[0]), dtype=jnp.float32
+        )
+        opts = ECGOptions(t=4, tol=1e-12, maxiter=8000, stall_window=100)
+        res = jax.jit(
+            lambda bb: ecg_solve(lambda x: ell_spmm(ae, x), None, bb, opts)
+        )(b)
+        assert int(res.iters) < 8000, "stall guard should cut the plateau"
+
+
+class TestCheckpointTbn:
+    def test_checkpoint_with_lane_major_layout(self, ela_small, tmp_path):
+        from prealps_tpu.core.layout import contiguous_row_layout, permute_and_pad_matrix
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+        from prealps_tpu.solvers import ECGOptions
+        from prealps_tpu.solvers.checkpoint import ecg_solve_checkpointed
+
+        a, d = sym_rac_scaling(ela_small)
+        lay = contiguous_row_layout(a.shape[0], 1, row_multiple=24)
+        apad = permute_and_pad_matrix(a, lay)
+        sb = csr_to_stencil_bsr_t(apad, br=3)
+        nrb = lay.n_pad // 3
+        b = np.random.default_rng(0).standard_normal(a.shape[0])
+        bpad = np.zeros(lay.n_pad)
+        bpad[: a.shape[0]] = d * b
+        bt = jnp.asarray(np.ascontiguousarray(bpad.reshape(nrb, 3).T))
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, layout="tbn")
+        res = ecg_solve_checkpointed(
+            lambda x: stencil_bsr_spmm_t(sb, x), None, bt, opts,
+            str(tmp_path / "tbn.npz"), every=20,
+        )
+        x = np.asarray(res.x).T.reshape(-1)[: a.shape[0]] * d
+        rr = np.linalg.norm(b - ela_small @ x) / np.linalg.norm(b)
+        assert rr < 2e-5
