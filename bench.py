@@ -26,6 +26,21 @@ def _log(msg):
 
 
 def main():
+    try:
+        return _main()
+    except Exception as e:  # still emit a machine-readable record on failure
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "ecg_tts_elasticity3d_145k_t12_tol1e-5",
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+            "converged": False, "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        return 1
+
+
+def _main():
     import jax
 
     # true-f32 MXU accumulation everywhere (bf16 passes break CG convergence)
