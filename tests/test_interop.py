@@ -66,3 +66,16 @@ class TestGolden:
         assert len(h) == info["iters"]
         # monotone-ish decrease overall
         assert h[-1] < 1e-3 * h[0]
+
+    def test_iteration_count_band(self, ela_small):
+        """Regression band for a pinned config (SURVEY §4.4 determinism
+        philosophy): t=4, tol 1e-6, BJ(8 blocks) on the 6x5x5 heterogeneous
+        elasticity problem, seed 7. Iteration counts jumping out of this band
+        signal an algorithmic regression (rounding-level drift stays within)."""
+        b = np.random.default_rng(7).standard_normal(ela_small.shape[0])
+        solver = ECGSolver.build(
+            ela_small, opts=ECGOptions(t=4, tol=1e-6, maxiter=2000),
+            precond="block_jacobi", nblocks=8,
+        )
+        x, info = solver.solve(b)
+        assert 40 <= info["iters"] <= 110, info["iters"]
