@@ -96,6 +96,8 @@ def build_presc(
     deflation_tol: float = 1e-2,
     max_deflation: int = 64,
     eigs_kind: str = "ssloc",        # ssloc | saloc
+    eig_method: str = "direct",      # direct | lanczos
+    lanczos_ncv: int | None = None,
     arrow: BlockArrowStruct | None = None,
     dtype=None,
 ):
@@ -147,7 +149,31 @@ def build_presc(
 
     # B must be SPD; guard small indefiniteness from disconnected parts
     b_dense = b_dense + 1e-12 * np.eye(b_dense.shape[0]) * max(b_dense.diagonal().max(), 1)
-    lam, vecs = scipy.linalg.eigh(s_dense, b_dense)
+    if eig_method == "direct":
+        lam, vecs = scipy.linalg.eigh(s_dense, b_dense)
+    elif eig_method == "lanczos":
+        # matrix-free generalized Lanczos on OP = B⁻¹S in the B-inner product
+        # (the PARPACK mode-2 role, reference: presc_eigsolve.c pdsaupd loop)
+        import jax
+
+        from prealps_tpu.ops.lanczos import lanczos_gen
+
+        ng = s_dense.shape[0]
+        b_j = jnp.asarray(b_dense)
+        b_chol = np.linalg.cholesky(b_dense)
+        binv_s = jnp.asarray(
+            np.linalg.solve(b_chol.T, np.linalg.solve(b_chol, s_dense))
+        )
+        ncv = lanczos_ncv or min(ng, 2 * max_deflation + 1)
+        res_l = jax.jit(
+            lambda: lanczos_gen(
+                lambda v: binv_s @ v, lambda v: b_j @ v, ng, ncv,
+                dtype=jnp.float64,
+            )
+        )()
+        lam, vecs = np.asarray(res_l.eigvalues), np.asarray(res_l.eigvectors)
+    else:
+        raise ValueError(f"unknown eig_method {eig_method!r}")
 
     sel = np.flatnonzero(lam <= deflation_tol)[:max_deflation]
     if sel.size == 0:

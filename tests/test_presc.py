@@ -62,3 +62,15 @@ class TestPrescSolve:
         x, i_pr = s_pr.solve(b)
         assert _relres(ela_small, x, b) < 1e-5
         assert i_pr["iters"] < i_bj["iters"]
+
+
+class TestPrescLanczos:
+    def test_presc_lanczos_converges(self, ela_small, rng):
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=3000, variant="odir_fused")
+        solver = ECGSolver.build(
+            ela_small, opts=opts, precond="presc", nparts=4,
+            eig_method="lanczos",
+        )
+        x, info = solver.solve(b)
+        assert _relres(ela_small, x, b) < 1e-5
