@@ -58,7 +58,7 @@ class ECGSolver:
             from dataclasses import replace as _dc_replace
 
             opts = _dc_replace(opts, tol=1e-3,
-                               stall_window=opts.stall_window or 100)
+                               stall_window=opts.stall_window or 250)
         scale_d = None
         if scale:
             a, scale_d = sym_rac_scaling(a)
@@ -127,7 +127,7 @@ class ECGSolver:
             for _ in range(max_refine_rounds):
                 r = b_eff - a @ x
                 relres = np.linalg.norm(r) / normb
-                if relres <= self.target_tol or relres > 0.5 * prev_relres:
+                if relres <= self.target_tol or relres > 0.9 * prev_relres:
                     break
                 prev_relres = relres
                 dx, info = self._solve_permuted(r)

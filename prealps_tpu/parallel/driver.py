@@ -127,7 +127,7 @@ class DistributedECG:
             # remaining work to the next refinement round)
             opts = _dc_replace(
                 opts, tol=inner_tol,
-                stall_window=opts.stall_window or 100,
+                stall_window=opts.stall_window or 250,
             )
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
@@ -425,8 +425,8 @@ class DistributedECG:
                 relres = np.linalg.norm(r) / normb
                 if relres <= self.target_tol:
                     break
-                if relres > 0.5 * prev_relres:
-                    break  # stalled at the f32 floor; stop burning iterations
+                if relres > 0.9 * prev_relres:
+                    break  # no meaningful progress: at the f32 floor
                 prev_relres = relres
                 dx, info = self._solve_scaled_once(r)
                 x = x + dx

@@ -109,7 +109,7 @@ class DistributedLorascECG:
             # remaining work to the next refinement round)
             opts = _dc_replace(
                 opts, tol=inner_tol,
-                stall_window=opts.stall_window or 100,
+                stall_window=opts.stall_window or 250,
             )
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
@@ -357,7 +357,7 @@ class DistributedLorascECG:
             for _ in range(max_refine_rounds):
                 r = b_eff - self.a_scaled @ x
                 relres = np.linalg.norm(r) / normb
-                if relres <= self.target_tol or relres > 0.5 * prev_relres:
+                if relres <= self.target_tol or relres > 0.9 * prev_relres:
                     break
                 prev_relres = relres
                 dx, info = self._solve_scaled_once(r)
