@@ -109,7 +109,9 @@ class _State(NamedTuple):
 
 
 def _track_stall(state: "_State", res):
-    improved = res < 0.995 * state.best_res
+    # 0.05% improvement counts: mid-convergence plateaus still crawl, while a
+    # terminal f32 floor makes no progress at all
+    improved = res < 0.9995 * state.best_res
     best = jnp.minimum(state.best_res, res)
     stall = jnp.where(improved, jnp.int32(0), state.stall + 1)
     return best, stall
