@@ -117,3 +117,42 @@ class TestCheckpointTbn:
         x = np.asarray(res.x).T.reshape(-1)[: a.shape[0]] * d
         rr = np.linalg.norm(b - ela_small @ x) / np.linalg.norm(b)
         assert rr < 2e-5
+
+
+class TestExampleScripts:
+    def test_bench_spmm_runs(self, capsys):
+        import runpy
+        import sys
+
+        argv = sys.argv
+        try:
+            sys.argv = ["bench_spmm.py", "--nel", "4", "--t", "2",
+                        "--reps", "2", "--formats", "stencil_t,ell"]
+            runpy.run_path("examples/bench_spmm.py", run_name="__main__")
+        finally:
+            sys.argv = argv
+        out = capsys.readouterr().out
+        assert '"format": "stencil_t"' in out
+        assert '"format": "ell"' in out
+
+    def test_weak_scaling_runs(self, capsys):
+        import runpy
+        import sys
+
+        argv = sys.argv
+        try:
+            sys.argv = ["weak_scaling.py", "--base-nel", "4",
+                        "--shards", "1,2", "--maxiter", "5", "--t", "2"]
+            runpy.run_path("examples/weak_scaling.py", run_name="__main__")
+        finally:
+            sys.argv = argv
+        out = capsys.readouterr().out
+        assert '"nshards": 1' in out
+        assert '"nshards": 2' in out
+
+    def test_graft_entry_points(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert np.all(np.isfinite(np.asarray(out)))
