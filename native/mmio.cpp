@@ -45,6 +45,13 @@ int prealps_mm_open(const char* path, void** handle_out, int64_t* n_out,
     }
     symmetric = header.find("symmetric") != std::string::npos;
     pattern = header.find("pattern") != std::string::npos;
+    // only real/integer/pattern fields: complex files would otherwise be
+    // silently mis-parsed (imaginary parts consumed as the next row index)
+    if (!pattern && header.find("real") == std::string::npos &&
+        header.find("integer") == std::string::npos) {
+      std::fclose(f);
+      return 6;
+    }
   }
   // skip comments
   long pos = std::ftell(f);

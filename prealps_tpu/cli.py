@@ -157,10 +157,17 @@ def lorasc_main(argv=None):
 
 def bench_main(argv=None):
     """Benchmark wrapper (see bench.py at the repo root)."""
+    import os
     import runpy
 
-    sys.argv = ["bench.py"]
-    runpy.run_path("bench.py", run_name="__main__")
+    # bench.py lives at the repo root, one level above the package — resolve
+    # relative to the package so the installed entry point works from any CWD
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = os.path.join(pkg_root, "bench.py")
+    if not os.path.exists(bench_path):
+        bench_path = "bench.py"  # source checkout fallback
+    sys.argv = [bench_path]
+    runpy.run_path(bench_path, run_name="__main__")
     return 0
 
 

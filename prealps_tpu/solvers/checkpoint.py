@@ -70,6 +70,7 @@ def ecg_solve_checkpointed(
         )
     )
     tol_abs = float(opts.tol) * float(normb)
+    prev_it = int(state.it)
     while True:
         state = run(state, normb)
         it = int(state.it)
@@ -81,4 +82,12 @@ def ecg_solve_checkpointed(
             break
         if float(jnp.sum(state.mask)) <= 0:
             break
+        # the stall guard (opts.stall_window) can stop ecg_run's while_loop
+        # with none of the conditions above met; without this check the outer
+        # loop would re-run the identical stalled state forever
+        if opts.stall_window > 0 and int(state.stall) >= opts.stall_window:
+            break
+        if it == prev_it:
+            break  # no progress across a chunk: avoid an infinite loop
+        prev_it = it
     return ecg_finalize(state, normb, opts.layout)

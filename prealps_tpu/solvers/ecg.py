@@ -62,7 +62,8 @@ class ECGOptions:
     record_history: bool = True
     layout: str = "nt"           # nt | tbn (lane-major, TPU fast path)
     stall_window: int = 0        # >0: stop after this many iterations without
-                                 # a 0.5% residual improvement. Default off —
+                                 # a 0.05% residual improvement (see
+                                 # _track_stall). Default off —
                                  # CG residuals plateau transiently, so this
                                  # is only safe where an early stop is
                                  # recoverable (refinement inner solves turn
@@ -194,12 +195,13 @@ def _iter_omin(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
         mask = new_mask
     p_new = ops.scale_dirs(p_new, mask)
     ap_new = a_apply(p_new)
+    best_res, stall = _track_stall(state, res)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new, z=z, mask=mask,
         it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
-        best_res=_track_stall(state, res)[0], stall=_track_stall(state, res)[1],
+        best_res=best_res, stall=stall,
     )
 
 
@@ -237,6 +239,7 @@ def _iter_odir(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
     z = ops.scale_dirs(z, mask)
     p_new = z + ops.scale_dirs(p, 1.0 - mask)      # active ← Z, frozen kept
     ap_new = a_apply(p_new)
+    best_res, stall = _track_stall(state, res)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new,
         p_prev=ops.scale_dirs(p, mask), ap_prev=ops.scale_dirs(ap, mask),
@@ -244,7 +247,7 @@ def _iter_odir(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
         it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
-        best_res=_track_stall(state, res)[0], stall=_track_stall(state, res)[1],
+        best_res=best_res, stall=stall,
     )
 
 
@@ -304,13 +307,14 @@ def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, re
     p_new = z + ops.scale_dirs(p, 1.0 - mask)
     ap_new = a_apply(p_new)
     z_new = m_apply(ap_new)
+    best_res, stall = _track_stall(state, res)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new,
         p_prev=ops.scale_dirs(p, mask), ap_prev=ops.scale_dirs(ap, mask),
         z=z_new, mask=mask, it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
-        best_res=_track_stall(state, res)[0], stall=_track_stall(state, res)[1],
+        best_res=best_res, stall=stall,
     )
 
 
