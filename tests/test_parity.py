@@ -1,0 +1,159 @@
+"""Reference-parity tests: the JAX ECG must land in the iteration-count band
+of the numpy oracle (tests/ecg_oracle.py) on the reference's deterministic
+configs (reference: README.md:53-59 — LFAT5 with e=2, elasticity3d with e=4).
+
+These replace the round-1 self-goldens for the north-star parity claim
+(BASELINE.md: "iteration counts and residual histories match preAlps on
+LFAT5 and elasticity3d_12x10x10_var").
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from prealps_tpu.core.partition import nsplit
+from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve
+from tests.ecg_oracle import block_jacobi_oracle, contiguous_split, ecg_oracle
+
+
+def _jax_ecg(a, b, t, tol, variant, m_offsets=None, maxiter=2000):
+    """Single-device JAX ECG with the same contiguous split and (optional)
+    exact dense-Cholesky block Jacobi as the oracle."""
+    a = sp.csr_matrix(a).astype(np.float64)
+    a_d = jnp.asarray(a.toarray())
+
+    def a_apply(p):
+        return a_d @ p
+
+    if m_offsets is not None:
+        from prealps_tpu.direct.subdomain import build_block_solver
+
+        bj = build_block_solver(a, m_offsets, rcm=False, dtype=np.float64)
+        m_apply = bj.apply
+    else:
+        m_apply = None
+
+    opts = ECGOptions(t=t, tol=tol, maxiter=maxiter, variant=variant)
+    res = ecg_solve(a_apply, m_apply, jnp.asarray(b), opts)
+    return res
+
+
+CONFIGS = [
+    # (name, t, variant) — the reference README runs odir (-o 0); omin covers
+    # the second orthogonalisation family.
+    ("odir", 2, "odir"),
+    ("omin", 2, "omin"),
+]
+
+
+class TestLFAT5Parity:
+    """LFAT5 (14×14 SPD, the reference's bundled smoke matrix), e=2."""
+
+    @pytest.mark.parametrize("name,t,variant", CONFIGS)
+    def test_iteration_count_band(self, lfat5, name, t, variant):
+        a = lfat5
+        rng = np.random.default_rng(0)  # reference seeds srand(0)
+        b = rng.standard_normal(a.shape[0])
+        offsets = nsplit(a.shape[0], 2)
+        m_or = block_jacobi_oracle(a, offsets)
+
+        oracle = ecg_oracle(a, b, t=t, tol=1e-5, variant=variant, m_apply=m_or)
+        res = _jax_ecg(a, b, t=t, tol=1e-5, variant=variant, m_offsets=offsets)
+
+        k_ref, k_jax = oracle["iters"], int(res.iters)
+        assert oracle["res"] <= 1e-5 * oracle["normb"]
+        assert not bool(res.breakdown)
+        band = max(2, round(0.15 * k_ref))
+        assert abs(k_jax - k_ref) <= band, (k_jax, k_ref)
+
+    def test_residual_history_tracks_oracle(self, lfat5):
+        # LFAT5 is severely ill-conditioned (cond ≈ 1.4e8): without a
+        # preconditioner neither implementation converges, so — like the
+        # reference driver — this runs with block Jacobi.
+        a = lfat5
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(a.shape[0])
+        offsets = nsplit(a.shape[0], 2)
+        m_or = block_jacobi_oracle(a, offsets)
+        oracle = ecg_oracle(a, b, t=2, tol=1e-5, variant="odir", m_apply=m_or)
+        res = _jax_ecg(a, b, t=2, tol=1e-5, variant="odir", m_offsets=offsets)
+        k = min(oracle["iters"], int(res.iters))
+        h_jax = np.asarray(res.history)[:k]
+        h_ref = oracle["history"][:k]
+        # same algorithm in f64: histories agree to rounding over the
+        # well-conditioned early sweep
+        ratio = h_jax[: max(1, k // 2)] / h_ref[: max(1, k // 2)]
+        assert np.all(ratio < 10) and np.all(ratio > 0.1)
+
+    def test_solution_matches_direct(self, lfat5):
+        a = lfat5
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(a.shape[0])
+        offsets = nsplit(a.shape[0], 2)
+        res = _jax_ecg(
+            a, b, t=2, tol=1e-9, variant="odir", m_offsets=offsets, maxiter=200
+        )
+        x = np.asarray(res.x)
+        import scipy.sparse.linalg as spla
+
+        x_ref = spla.spsolve(sp.csc_matrix(a), b)
+        assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-6
+
+
+class TestElasticityParity:
+    """Generated elasticity3d (the reference's elasticity3d_12x10x10_var
+    analog; reference config: -o 0 -r 0 -e 4 over 8 процесс panels)."""
+
+    @pytest.mark.parametrize("variant", ["odir", "omin"])
+    def test_iteration_count_band_e4(self, ela_small, variant):
+        a = ela_small
+        rng = np.random.default_rng(11)  # reference test_lorasc seeds srand(11)
+        b = rng.standard_normal(a.shape[0])
+        offsets = nsplit(a.shape[0], 8)  # 8 ranks → 8 BJ blocks
+        m_or = block_jacobi_oracle(a, offsets)
+
+        oracle = ecg_oracle(
+            a, b, t=4, tol=1e-5, variant=variant, m_apply=m_or, maxiter=2000
+        )
+        res = _jax_ecg(
+            a, b, t=4, tol=1e-5, variant=variant, m_offsets=offsets
+        )
+        k_ref, k_jax = oracle["iters"], int(res.iters)
+        assert oracle["res"] <= 1e-5 * oracle["normb"], "oracle must converge"
+        assert not bool(res.breakdown)
+        band = max(2, round(0.15 * k_ref))
+        assert abs(k_jax - k_ref) <= band, (k_jax, k_ref)
+
+    def test_fused_matches_odir_band(self, ela_small):
+        """odir_fused is the default TPU formulation; its count must sit in
+        the same band as the reference's plain odir."""
+        a = ela_small
+        rng = np.random.default_rng(11)
+        b = rng.standard_normal(a.shape[0])
+        offsets = nsplit(a.shape[0], 8)
+        m_or = block_jacobi_oracle(a, offsets)
+        oracle = ecg_oracle(
+            a, b, t=4, tol=1e-5, variant="odir", m_apply=m_or, maxiter=2000
+        )
+        res = _jax_ecg(
+            a, b, t=4, tol=1e-5, variant="odir_fused", m_offsets=offsets
+        )
+        k_ref, k_jax = oracle["iters"], int(res.iters)
+        band = max(2, round(0.15 * k_ref))
+        assert abs(k_jax - k_ref) <= band, (k_jax, k_ref)
+
+    def test_enlarging_cuts_iterations(self, ela_small):
+        """t=4 must converge in (well) fewer iterations than t=1 — the core
+        enlarged-Krylov claim the reference's Fig 1 documents."""
+        a = ela_small
+        rng = np.random.default_rng(11)
+        b = rng.standard_normal(a.shape[0])
+        offsets = nsplit(a.shape[0], 8)
+        m_or = block_jacobi_oracle(a, offsets)
+        k1 = ecg_oracle(a, b, t=1, tol=1e-5, variant="odir", m_apply=m_or,
+                        maxiter=2000)["iters"]
+        k4 = ecg_oracle(a, b, t=4, tol=1e-5, variant="odir", m_apply=m_or,
+                        maxiter=2000)["iters"]
+        assert k4 < k1
