@@ -1,0 +1,142 @@
+"""Single-chip ECG + scalable LORASC driver for stencil operators.
+
+The production LORASC path at benchmark scale (reference analog:
+examples/test_lorasc.c driving lorasc.c): the ECG loop runs on the
+lane-major stencil fast path in ORIGINAL ordering; the preconditioner
+(precond/lorasc_scale.py) works in arrow coordinates internally via
+node-level gathers. One jitted function per solve; float32 + host-f64
+iterative refinement on TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from prealps_tpu.core.scaling import sym_rac_scaling
+from prealps_tpu.precond.lorasc_scale import ScalableLorasc, build_scalable_lorasc
+from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve
+from prealps_tpu.solvers.refine import refine_solve
+
+
+@dataclass
+class StencilLorascECG:
+    """Build once, solve many. See module docstring."""
+
+    n: int
+    br: int
+    nrb: int
+    opts: ECGOptions
+    scale_d: Optional[np.ndarray]
+    precond: ScalableLorasc
+    _fn: object
+    target_tol: float = 0.0
+    a_scaled: object = None
+
+    @classmethod
+    def build(
+        cls,
+        a: sp.spmatrix,
+        nparts: int = 8,
+        br: int = 3,
+        grid: tuple[int, int, int] | None = None,
+        opts: ECGOptions = ECGOptions(layout="tbn"),
+        deflation_tol: float = 1e-2,
+        max_deflation: int = 64,
+        ncv: int | None = None,
+        scale: bool = True,
+        dtype=None,
+        refine: Optional[bool] = None,
+        inner_tol: float = 1e-3,
+        shift: float = 0.0,
+    ) -> "StencilLorascECG":
+        # true-f32 MXU passes (bf16 default silently breaks CG orthogonality)
+        jax.config.update("jax_default_matmul_precision", "highest")
+        if opts.layout != "tbn":
+            raise ValueError("StencilLorascECG requires layout='tbn'")
+        a = sp.csr_matrix(a)
+        dtype = np.dtype(dtype) if dtype is not None else a.dtype
+        scale_d = None
+        if scale:
+            a, scale_d = sym_rac_scaling(a)
+        target_tol = opts.tol
+        if refine is None:
+            refine = dtype == np.float32 and opts.tol < inner_tol
+        if refine:
+            from dataclasses import replace as _dc_replace
+
+            opts = _dc_replace(
+                opts, tol=inner_tol, stall_window=opts.stall_window or 250
+            )
+
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+
+        a_t = csr_to_stencil_bsr_t(a, br=br, dtype=dtype)
+        if a_t is None:
+            raise ValueError(
+                "matrix is not stencil-structured; use DistributedLorascECG"
+            )
+        precond = build_scalable_lorasc(
+            a, nparts=nparts, br=br, grid=grid,
+            deflation_tol=deflation_tol, max_deflation=max_deflation,
+            ncv=ncv, dtype=dtype, shift=shift, a_stencil=a_t,
+        )
+
+        n = a.shape[0]
+        nrb = n // br
+        t = opts.t
+
+        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+
+        def a_apply(x):
+            return stencil_bsr_spmm_t(a_t, x)
+
+        r_idx = jnp.arange(nrb)[None, :]
+        k_idx = jnp.arange(br)[:, None]
+        grow = r_idx * br + k_idx
+        assign = ((grow * t) // n).astype(jnp.int32)
+
+        def run(b):
+            return ecg_solve(
+                a_apply, precond.apply, b, opts, split_assign=assign
+            )
+
+        fn = jax.jit(run)
+        return cls(
+            n=n, br=br, nrb=nrb, opts=opts, scale_d=scale_d, precond=precond,
+            _fn=fn, target_tol=target_tol, a_scaled=a if refine else None,
+        )
+
+    def _solve_scaled_once(self, b_eff: np.ndarray):
+        dtype = np.asarray(self.precond.operands["sep_mask"]).dtype
+        b_lane = np.ascontiguousarray(
+            b_eff.astype(dtype).reshape(self.nrb, self.br).T
+        )
+        res = self._fn(jnp.asarray(b_lane))
+        x = np.ascontiguousarray(np.asarray(res.x).T).reshape(-1)
+        info = {
+            "iters": int(res.iters), "res": float(res.res),
+            "normb": float(res.normb), "breakdown": bool(res.breakdown),
+            "deflated": self.precond.deflated,
+        }
+        return x.astype(np.float64), info
+
+    def solve(self, b: np.ndarray, max_refine_rounds: int = 8):
+        b = np.asarray(b)
+        b_eff = self.scale_d * b if self.scale_d is not None else b.astype(np.float64)
+        if self.a_scaled is None:
+            x, info = self._solve_scaled_once(b_eff)
+        else:
+            x, info = refine_solve(
+                self.a_scaled, b_eff, self._solve_scaled_once,
+                self.target_tol, max_rounds=max_refine_rounds,
+            )
+            info["deflated"] = self.precond.deflated
+        if self.scale_d is not None:
+            x = self.scale_d * x
+        return x, info

@@ -1,0 +1,200 @@
+"""Scalable LORASC (precond/lorasc_scale.py + parallel/lorasc_stencil.py)
+vs scipy references — the production redesign of the round-1 toy LORASC."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+import jax.numpy as jnp
+
+from prealps_tpu.core.gridpart import (
+    collapse_to_nodes,
+    factor3,
+    grid_box_partition,
+)
+from prealps_tpu.precond.lorasc_scale import (
+    build_scalable_lorasc,
+    plan_arrow_bands,
+)
+
+
+class TestGridPartition:
+    def test_factor3(self):
+        assert factor3(8) == (2, 2, 2)
+        assert factor3(4) == (2, 2, 1)
+        assert np.prod(factor3(12)) == 12
+
+    def test_separator_decouples_interiors(self):
+        from prealps_tpu.core.generators import poisson3d
+
+        a = poisson3d(8, 7, 6)
+        gx, gy, gz = 8, 7, 6
+        part, in_sep = grid_box_partition(gx, gy, gz, 8)
+        assert part.shape[0] == a.shape[0]
+        coo = a.tocoo()
+        interior = ~in_sep
+        cross = (
+            interior[coo.row] & interior[coo.col]
+            & (part[coo.row] != part[coo.col])
+        )
+        assert not np.any(cross), "interiors of different boxes must not couple"
+
+    def test_collapse_to_nodes(self, ela_small):
+        pat = collapse_to_nodes(ela_small, 3)
+        assert pat.shape[0] * 3 == ela_small.shape[0]
+
+
+def _make(a, br, nparts, grid=None, **kw):
+    return build_scalable_lorasc(
+        a, nparts=nparts, br=br, grid=grid, dtype=np.float64, **kw
+    )
+
+
+def _arrow_pieces(a, plan):
+    """Extract Aii blocks / Agg / couplings in the plan's arrow order."""
+    br = plan.br
+    int_dofs = []  # per part list of dof indices in band order
+    for p in range(plan.nparts):
+        nodes = plan.int_nodes[p]
+        nodes = nodes[nodes < plan.nrb]
+        dofs = (nodes[:, None] * br + np.arange(br)[None, :]).ravel()
+        int_dofs.append(dofs)
+    sep_nodes = plan.sep_nodes[plan.sep_nodes < plan.nrb]
+    sep_dofs = (sep_nodes[:, None] * br + np.arange(br)[None, :]).ravel()
+    return int_dofs, sep_dofs
+
+
+class TestScalableLorascApply:
+    @pytest.mark.parametrize("grid_mode", ["box", "generic"])
+    def test_apply_matches_reference_formula(self, grid_mode):
+        """apply() must equal the exact LORASC sweep computed with scipy
+        (reference: lorasc.c:368-618), given the same deflation basis."""
+        from prealps_tpu.core.generators import elasticity3d
+
+        nel = (4, 3, 3)
+        a = elasticity3d(*nel)
+        br, nparts = 3, 4
+        grid = (nel[0] + 1, nel[1] + 1, nel[2]) if grid_mode == "box" else None
+        lor = _make(a, br, nparts, grid=grid, max_deflation=8)
+        plan = lor.plan
+
+        int_dofs, sep_dofs = _arrow_pieces(a, plan)
+        all_int = np.concatenate(int_dofs)
+        aii = a[all_int][:, all_int]
+        aig = a[all_int][:, sep_dofs]
+        agi = a[sep_dofs][:, all_int]
+
+        rng = np.random.default_rng(3)
+        t = 2
+        r = rng.standard_normal((a.shape[0], t))
+
+        # device apply (lane-major in/out)
+        r_lane = jnp.asarray(
+            np.ascontiguousarray(r.reshape(plan.nrb, br, t).transpose(2, 1, 0))
+        )
+        w_lane = np.asarray(lor.apply(r_lane))
+        w = w_lane.transpose(2, 1, 0).reshape(a.shape[0], t)
+
+        # scipy reference sweep with the SAME (E, sigma)
+        ng_real = sep_dofs.size
+        e_np = np.asarray(lor.operands["e_mat"])[:ng_real]
+        sig = np.asarray(lor.operands["sigma"])
+        vi = r[all_int]
+        vg = r[sep_dofs]
+        zi = spla.spsolve(sp.csc_matrix(aii), vi)
+        g = vg - agi @ zi
+        agg = a[sep_dofs][:, sep_dofs]
+        zg = spla.spsolve(sp.csc_matrix(agg), g) + e_np @ (
+            (sig[:, None]) * (e_np.T @ g)
+        )
+        wi = zi - spla.spsolve(sp.csc_matrix(aii), aig @ zg)
+        w_ref = np.zeros_like(r)
+        w_ref[all_int] = wi
+        w_ref[sep_dofs] = zg
+
+        err = np.linalg.norm(w - w_ref) / np.linalg.norm(w_ref)
+        assert err < 1e-8, err
+
+    def test_deflation_matches_dense_eigs(self):
+        """Lanczos deflation pairs ≈ scipy generalized eigh of (S, Agg)."""
+        from prealps_tpu.core.generators import poisson3d
+
+        a = poisson3d(6, 6, 5)
+        lor = _make(a, 1, 4, grid=(6, 6, 5), max_deflation=6)
+        plan = lor.plan
+        int_dofs, sep_dofs = _arrow_pieces(a, plan)
+        all_int = np.concatenate(int_dofs)
+        aii = a[all_int][:, all_int]
+        aig = a[all_int][:, sep_dofs]
+        agi = a[sep_dofs][:, all_int]
+        agg = a[sep_dofs][:, sep_dofs].toarray()
+        s = agg - agi @ spla.spsolve(sp.csc_matrix(aii), aig.tocsc()).toarray()
+        lam_ref = scipy.linalg.eigh(0.5 * (s + s.T), agg, eigvals_only=True)
+
+        sig = np.asarray(lor.operands["sigma"])
+        ndefl = int((sig > 0).sum())
+        tol = 1e-2
+        n_ref = int((lam_ref <= tol * (1 + 1e-9)).sum())
+        # Lanczos finds the small end of the pencil spectrum
+        assert abs(ndefl - min(n_ref, 6)) <= 1
+        if ndefl:
+            lam_lz = tol / (sig[:ndefl] + 1.0)
+            np.testing.assert_allclose(
+                np.sort(lam_lz), np.sort(lam_ref[:ndefl]), rtol=1e-4, atol=1e-8
+            )
+
+    def test_plan_bandwidth_bound(self, ela_small):
+        node_graph = collapse_to_nodes(ela_small, 3)
+        part, in_sep = grid_box_partition(7, 6, 5, 4)
+        plan = plan_arrow_bands(node_graph, part, in_sep, 4, 3)
+        assert plan.bs_i % 3 == 0 and plan.bs_i % 8 == 0
+        assert plan.nbn_i * 3 == plan.nblk_i * plan.bs_i
+
+
+class TestStencilLorascSolve:
+    def test_solve_elasticity(self, ela_small):
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+        from prealps_tpu.solvers.ecg import ECGOptions
+
+        a = ela_small
+        solver = StencilLorascECG.build(
+            a, nparts=4, br=3, grid=(7, 6, 5),
+            opts=ECGOptions(t=2, tol=1e-6, maxiter=400, layout="tbn"),
+            dtype=np.float64,
+        )
+        rng = np.random.default_rng(11)
+        b = rng.standard_normal(a.shape[0])
+        x, info = solver.solve(b)
+        relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+        assert relres < 1e-5, (relres, info)
+        assert not info["breakdown"]
+
+    def test_lorasc_beats_block_jacobi_iterations(self):
+        """The reference's headline claim: LORASC cuts the iteration count
+        massively vs block Jacobi on heterogeneous elasticity
+        (BASELINE.md Table 4: 4058 -> 102)."""
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.core.partition import nsplit
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+        from prealps_tpu.solvers.ecg import ECGOptions
+        from tests.ecg_oracle import block_jacobi_oracle, ecg_oracle
+
+        a = elasticity3d(6, 6, 6, heterogeneous=True)
+        rng = np.random.default_rng(11)
+        b = rng.standard_normal(a.shape[0])
+
+        m_bj = block_jacobi_oracle(a, nsplit(a.shape[0], 8))
+        k_bj = ecg_oracle(a, b, t=2, tol=1e-6, variant="odir", m_apply=m_bj,
+                          maxiter=3000)["iters"]
+
+        solver = StencilLorascECG.build(
+            a, nparts=8, br=3, grid=(7, 7, 6),
+            opts=ECGOptions(t=2, tol=1e-6, maxiter=3000, layout="tbn"),
+            dtype=np.float64, max_deflation=24,
+        )
+        x, info = solver.solve(b)
+        relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+        assert relres < 1e-5
+        assert info["iters"] < 0.5 * k_bj, (info["iters"], k_bj)
