@@ -174,3 +174,84 @@ def contiguous_row_layout(n: int, nshards: int, row_multiple: int = 8) -> RowLay
         n=n, n_pad=n_pad, nshards=nshards, rows_per_shard=rps,
         perm=perm, inv_perm=inv, offsets=offsets, deps=deps,
     )
+
+
+@dataclass(frozen=True)
+class HaloPlan:
+    """Static neighbor-exchange schedule for the distributed ELL SpMM.
+
+    The TPU-native analog of the reference's dep-list halo exchange
+    (reference: utils/cplm_v0/cplm_v0_matmult_v2.c:14-343 precomputed sub-CSR
+    windows + ISend/Irecv; deps from cplm_v0_matcsr.c:234 GetCommDep): each
+    shard packs exactly the boundary rows of X its neighbors reference
+    (send_idx), one `all_to_all` moves all packs over ICI, and the local ELL
+    columns are pre-remapped into [own rows ∥ halo buffer] coordinates —
+    comm volume ∝ cut edges instead of the full panel.
+    """
+
+    h: int                    # rows per (src, dst) slot (max over pairs)
+    send_idx: np.ndarray      # (S, S, h) int32: local rows shard s packs for d
+    cols_local: np.ndarray    # (n_pad, L) int32: ELL cols in local+halo space
+    comm_rows: int            # true (unpadded) total rows exchanged
+
+    @property
+    def halo_rows_per_shard(self) -> int:
+        return self.send_idx.shape[1] * self.h
+
+
+def build_halo_plan(
+    layout: RowLayout, ell_cols: np.ndarray, ell_vals: np.ndarray
+) -> HaloPlan:
+    """Derive the exchange schedule from the padded ELL structure.
+
+    ell_cols/ell_vals: (n_pad, L) global padded column ids and values (zero
+    values mark padding slots, which are excluded from the dependency scan).
+    """
+    s_n = layout.nshards
+    mpl = layout.rows_per_shard
+    n_pad = layout.n_pad
+    used = ell_vals != 0
+    owner_of = ell_cols // mpl
+
+    needed = [[None] * s_n for _ in range(s_n)]  # needed[s][q] = global cols
+    h = 1
+    comm_rows = 0
+    for s in range(s_n):
+        rows = slice(s * mpl, (s + 1) * mpl)
+        cols_s = ell_cols[rows][used[rows]]
+        own = owner_of[rows][used[rows]]
+        for q in range(s_n):
+            if q == s:
+                continue
+            cq = np.unique(cols_s[own == q])
+            needed[s][q] = cq
+            h = max(h, cq.size)
+            comm_rows += cq.size
+
+    send_idx = np.zeros((s_n, s_n, h), dtype=np.int32)
+    for q in range(s_n):
+        for s in range(s_n):
+            if q == s:
+                continue
+            cq = needed[s][q]
+            send_idx[q, s, : cq.size] = (cq - q * mpl).astype(np.int32)
+
+    cols_local = np.zeros_like(ell_cols, dtype=np.int32)
+    for s in range(s_n):
+        rows = slice(s * mpl, (s + 1) * mpl)
+        c = ell_cols[rows]
+        o = c // mpl
+        out = np.where(o == s, c - s * mpl, 0).astype(np.int64)
+        for q in range(s_n):
+            if q == s:
+                continue
+            cq = needed[s][q]
+            sel = o == q
+            if cq.size and np.any(sel):
+                pos = np.searchsorted(cq, c[sel])
+                out[sel] = mpl + q * h + pos
+            elif np.any(sel):  # only padding slots can point off-shard unused
+                out[sel] = 0
+        cols_local[rows] = out.astype(np.int32)
+    return HaloPlan(h=h, send_idx=send_idx, cols_local=cols_local,
+                    comm_rows=comm_rows)

@@ -181,9 +181,10 @@ def block_banded_cholesky(
     """
     P, nblk, bs, _ = d.shape
     dtype = d.dtype
-    if shift:
-        diag = jnp.einsum("pnii->pni", d)
-        d = d + shift * jax.vmap(jax.vmap(jnp.diag))(diag)
+    # shift may be a traced scalar (drivers retry with growing shifts under
+    # one jit); applying a 0.0 shift is free, so no static branch
+    diag = jnp.einsum("pnii->pni", d)
+    d = d + jnp.asarray(shift, dtype) * jax.vmap(jax.vmap(jnp.diag))(diag)
     eye = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), (P, bs, bs))
 
     def step(l_inv_prev, de):

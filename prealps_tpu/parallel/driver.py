@@ -185,8 +185,26 @@ class DistributedECG:
                 mat_specs = (P(AXIS, None, None, None),)
         elif fmt == "ell":
             ell = csr_to_ell(a_pad, dtype=dtype)
-            mat_operands = (ell.vals, ell.cols)
-            mat_specs = (P(AXIS, None), P(AXIS, None))
+            if nshards > 1:
+                # dep-based halo exchange: boundary rows only, via one
+                # all_to_all (reference: cplm_v0_matmult_v2.c dep-list
+                # ISend/Irecv; see core/layout.py HaloPlan)
+                from prealps_tpu.core.layout import build_halo_plan
+
+                halo_plan = build_halo_plan(
+                    layout, np.asarray(ell.cols), np.asarray(ell.vals)
+                )
+                halo_h = halo_plan.h
+                mat_operands = (
+                    ell.vals,
+                    jnp.asarray(halo_plan.cols_local),
+                    jnp.asarray(halo_plan.send_idx),
+                )
+                mat_specs = (P(AXIS, None), P(AXIS, None), P(AXIS, None, None))
+            else:
+                halo_plan = None
+                mat_operands = (ell.vals, ell.cols)
+                mat_specs = (P(AXIS, None), P(AXIS, None))
         elif fmt in ("block_ell", "block_ell_xla"):
             bell = csr_to_block_ell(a_pad, bm=8, bk=128, dtype=dtype)
             assert bell.shape[0] == n_pad, "row padding must already align to 8"
@@ -285,6 +303,22 @@ class DistributedECG:
                     return stencil_scan_accumulate(
                         blocks_t_loc, stencil_offsets, x_ext, halo
                     )
+                if fmt == "ell" and nshards > 1:
+                    # dep-based halo exchange: pack exactly the boundary rows
+                    # each neighbor references, ONE all_to_all over ICI, ELL
+                    # gather from [own rows ∥ halo buffer] (cols pre-remapped
+                    # host-side; reference: cplm_v0_matmult_v2.c:108-343)
+                    vals_loc, cols_loc, send_loc = mat_ops
+                    x_send = x_loc[send_loc[0]]              # (S, H, t)
+                    x_recv = jax.lax.all_to_all(
+                        x_send, AXIS, split_axis=0, concat_axis=0, tiled=True
+                    )
+                    x_ext = jnp.concatenate(
+                        [x_loc, x_recv.reshape(nshards * halo_h, -1)], axis=0
+                    )
+                    gathered = x_ext[cols_loc]               # (m_loc, L, t)
+                    return jnp.einsum("ml,mlt->mt", vals_loc, gathered,
+                                      precision=jax.lax.Precision.HIGHEST)
                 x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
                 if fmt == "stencil":
                     (blocks_loc,) = mat_ops
@@ -379,6 +413,7 @@ class DistributedECG:
         )
         obj._lane_major = lane_major
         obj._br = br
+        obj._halo_plan = locals().get("halo_plan")
         return obj
 
     def _solve_scaled_once(self, b_eff: np.ndarray):

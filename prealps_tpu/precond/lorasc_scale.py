@@ -410,22 +410,30 @@ def build_scalable_lorasc(
 
     # --- assemble + factor interiors and separator (all on device) ---
     @jax.jit
-    def _factor():
+    def _factor(shift_now):
         d_i, e_i = assemble_band_from_stencil(
             a_stencil.blocks_t, a_stencil.offsets, part_d, pos_d,
             plan.nparts, plan.nblk_i, plan.bs_i,
             jnp.asarray(plan.ni_dof), separator=False,
         )
-        fac_i = block_banded_cholesky(d_i, e_i, shift=shift)
+        fac_i = block_banded_cholesky(d_i, e_i, shift=shift_now)
         d_g, e_g = assemble_band_from_stencil(
             a_stencil.blocks_t, a_stencil.offsets, part_d, pos_d,
             1, plan.nblk_g, plan.bs_g,
             jnp.asarray(np.array([plan.ng])), separator=True,
         )
-        fac_g = block_banded_cholesky(d_g, e_g, shift=shift)
+        fac_g = block_banded_cholesky(d_g, e_g, shift=shift_now)
         return fac_i, fac_g, d_g, e_g
 
-    fac_i, fac_g, d_g, e_g = _factor()
+    # float32 builds of ill-conditioned operators can lose positive
+    # definiteness during the block recursion; retry with growing diagonal
+    # shifts (a shifted factor only weakens the preconditioner slightly)
+    shift_now = shift
+    for _ in range(4):
+        fac_i, fac_g, d_g, e_g = _factor(shift_now)
+        if not (bool(fac_i.failed) or bool(fac_g.failed)):
+            break
+        shift_now = max(shift_now * 10, 1e-6)
     dev.update(
         aii_linv=fac_i.l_inv, aii_moff=fac_i.m_off, aii_failed=fac_i.failed,
         agg_linv=fac_g.l_inv, agg_moff=fac_g.m_off, agg_failed=fac_g.failed,
