@@ -61,13 +61,21 @@ class ECGOptions:
     adaptive: bool = False       # dynamic search-direction reduction
     record_history: bool = True
     layout: str = "nt"           # nt | tbn (lane-major, TPU fast path)
-    stall_window: int = 0        # >0: stop after this many iterations without
-                                 # a 0.05% residual improvement (see
-                                 # _track_stall). Default off —
+    stall_window: int = 0        # >0: stop after this many CONSECUTIVE
+                                 # iterations whose residual improved by less
+                                 # than stall_rtol (relative). Default off —
                                  # CG residuals plateau transiently, so this
                                  # is only safe where an early stop is
-                                 # recoverable (refinement inner solves turn
-                                 # it on; the reference burns maxiter)
+                                 # recoverable (mixed-precision refinement
+                                 # inner solves set it to 250: long enough to
+                                 # ride out block-CG plateaus, short enough
+                                 # not to burn maxiter at the f32 floor —
+                                 # the reference simply burns maxiter).
+    stall_rtol: float = 5e-4     # per-iteration relative improvement that
+                                 # counts as progress. 5e-4 ≈ the f32 floor's
+                                 # noise band: a true floor jitters well
+                                 # below it, while even slow (0.999/iter)
+                                 # geometric convergence clears it.
 
     def __post_init__(self):
         if self.t < 1:
@@ -109,10 +117,11 @@ class _State(NamedTuple):
     stall: jax.Array     # iterations since meaningful improvement
 
 
-def _track_stall(state: "_State", res):
-    # 0.05% improvement counts: mid-convergence plateaus still crawl, while a
-    # terminal f32 floor makes no progress at all
-    improved = res < 0.9995 * state.best_res
+def _track_stall(state: "_State", res, stall_rtol):
+    # an improvement below stall_rtol does not count as progress: a terminal
+    # f32 floor jitters below it while real convergence (even slow geometric
+    # rates) clears it every iteration (see ECGOptions.stall_rtol)
+    improved = res < (1.0 - stall_rtol) * state.best_res
     best = jnp.minimum(state.best_res, res)
     stall = jnp.where(improved, jnp.int32(0), state.stall + 1)
     return best, stall
@@ -195,7 +204,7 @@ def _iter_omin(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
         mask = new_mask
     p_new = ops.scale_dirs(p_new, mask)
     ap_new = a_apply(p_new)
-    best_res, stall = _track_stall(state, res)
+    best_res, stall = _track_stall(state, res, opts.stall_rtol)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new, z=z, mask=mask,
         it=state.it + 1, res=res,
@@ -239,7 +248,7 @@ def _iter_odir(state: _State, a_apply, m_apply, axis_name, opts, normb, red_tol,
     z = ops.scale_dirs(z, mask)
     p_new = z + ops.scale_dirs(p, 1.0 - mask)      # active ← Z, frozen kept
     ap_new = a_apply(p_new)
-    best_res, stall = _track_stall(state, res)
+    best_res, stall = _track_stall(state, res, opts.stall_rtol)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new,
         p_prev=ops.scale_dirs(p, mask), ap_prev=ops.scale_dirs(ap, mask),
@@ -307,7 +316,7 @@ def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, re
     p_new = z + ops.scale_dirs(p, 1.0 - mask)
     ap_new = a_apply(p_new)
     z_new = m_apply(ap_new)
-    best_res, stall = _track_stall(state, res)
+    best_res, stall = _track_stall(state, res, opts.stall_rtol)
     return state._replace(
         x_blk=x_blk, r=r, p=p_new, ap=ap_new,
         p_prev=ops.scale_dirs(p, mask), ap_prev=ops.scale_dirs(ap, mask),
@@ -337,6 +346,16 @@ def ecg_init(
     dtype = b.dtype
     normb = jnp.sqrt(psum(jnp.vdot(b, b), axis_name))
     r0 = split_rhs(b, t, split_assign, ops)
+    # Exactly-zero split columns (rhs supported on a subset of the domain)
+    # would make the first A-CholQR singular; the reference aborts there
+    # ("P^tAP is not spd!", ecg.c:320). Instead: permute zero columns behind
+    # the active prefix and start with a reduced mask — the column sum in
+    # ecg_finalize is permutation-invariant, so the solution is unchanged.
+    col2 = jnp.diag(psum(ops.gram(r0, r0), axis_name))
+    nz = col2 > 0
+    order = jnp.argsort(jnp.where(nz, 0, 1), stable=True)
+    r0 = ops.take_dirs(r0, order)
+    mask0 = (jnp.arange(t) < jnp.sum(nz)).astype(dtype)
     p0 = m_apply(r0)
     ap0 = a_apply(p0)
     z0 = m_apply(ap0) if opts.variant == "odir_fused" else jnp.zeros_like(p0)
@@ -344,7 +363,7 @@ def ecg_init(
     history = jnp.full((opts.maxiter,), -1.0, dtype)
     state0 = _State(
         x_blk=zeros, r=r0, p=p0, ap=ap0, p_prev=zeros, ap_prev=zeros, z=z0,
-        mask=jnp.ones((t,), dtype), it=jnp.int32(0),
+        mask=mask0, it=jnp.int32(0),
         res=normb.astype(dtype), breakdown=jnp.bool_(False), history=history,
         best_res=normb.astype(dtype), stall=jnp.int32(0),
     )
