@@ -92,32 +92,35 @@ class StencilLorascECG:
         t = opts.t
 
         from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
-
-        def a_apply(x):
-            return stencil_bsr_spmm_t(a_t, x)
+        from prealps_tpu.precond.lorasc_scale import lorasc_apply
 
         r_idx = jnp.arange(nrb)[None, :]
         k_idx = jnp.arange(br)[:, None]
         grow = r_idx * br + k_idx
         assign = ((grow * t) // n).astype(jnp.int32)
+        plan = precond.plan
 
-        def run(b):
-            return ecg_solve(
-                a_apply, precond.apply, b, opts, split_assign=assign
-            )
+        # operands go in as jit ARGUMENTS — closing over them would embed
+        # the multi-GB factor arrays as constants in the lowered module
+        def run(b, m_ops):
+            a_apply = lambda x: stencil_bsr_spmm_t(m_ops["a_stencil"], x)
+            m_apply = lambda r: lorasc_apply(plan, m_ops, r)
+            return ecg_solve(a_apply, m_apply, b, opts, split_assign=assign)
 
         fn = jax.jit(run)
-        return cls(
+        obj = cls(
             n=n, br=br, nrb=nrb, opts=opts, scale_d=scale_d, precond=precond,
             _fn=fn, target_tol=target_tol, a_scaled=a if refine else None,
         )
+        obj._m_ops = precond.operands
+        return obj
 
     def _solve_scaled_once(self, b_eff: np.ndarray):
         dtype = np.asarray(self.precond.operands["sep_mask"]).dtype
         b_lane = np.ascontiguousarray(
             b_eff.astype(dtype).reshape(self.nrb, self.br).T
         )
-        res = self._fn(jnp.asarray(b_lane))
+        res = self._fn(jnp.asarray(b_lane), self._m_ops)
         x = np.ascontiguousarray(np.asarray(res.x).T).reshape(-1)
         info = {
             "iters": int(res.iters), "res": float(res.res),

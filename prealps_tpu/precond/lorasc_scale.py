@@ -409,16 +409,20 @@ def build_scalable_lorasc(
     pos_d = jnp.asarray(plan.pos_arr)
 
     # --- assemble + factor interiors and separator (all on device) ---
+    # NOTE: every jit here takes its device operands as ARGUMENTS — closing
+    # over them would embed multi-GB constants into the lowered module
+    # (jax warns "large amount of constants captured"), which the remote
+    # compile service materialises host-side.
     @jax.jit
-    def _factor(shift_now):
+    def _factor(stencil, part_a, pos_a, shift_now):
         d_i, e_i = assemble_band_from_stencil(
-            a_stencil.blocks_t, a_stencil.offsets, part_d, pos_d,
+            stencil.blocks_t, stencil.offsets, part_a, pos_a,
             plan.nparts, plan.nblk_i, plan.bs_i,
             jnp.asarray(plan.ni_dof), separator=False,
         )
         fac_i = block_banded_cholesky(d_i, e_i, shift=shift_now)
         d_g, e_g = assemble_band_from_stencil(
-            a_stencil.blocks_t, a_stencil.offsets, part_d, pos_d,
+            stencil.blocks_t, stencil.offsets, part_a, pos_a,
             1, plan.nblk_g, plan.bs_g,
             jnp.asarray(np.array([plan.ng])), separator=True,
         )
@@ -430,7 +434,7 @@ def build_scalable_lorasc(
     # shifts (a shifted factor only weakens the preconditioner slightly)
     shift_now = shift
     for _ in range(4):
-        fac_i, fac_g, d_g, e_g = _factor(shift_now)
+        fac_i, fac_g, d_g, e_g = _factor(a_stencil, part_d, pos_d, shift_now)
         if not (bool(fac_i.failed) or bool(fac_g.failed)):
             break
         shift_now = max(shift_now * 10, 1e-6)
@@ -446,42 +450,45 @@ def build_scalable_lorasc(
     nev = min(max_deflation, max(plan.ng - 1, 1))
     ncv_eff = min(ncv or (2 * nev + 1), max(plan.ng - 1, 2))
 
-    def s_apply(v):
-        # S v = Agg v − Agi Aii⁻¹ Aig v via two embedded stencil SpMMs
-        vhat = _from_node_major(_embed_sep(plan, dev, v[:, None]))
-        y1 = stencil_bsr_spmm_t(a_stencil, vhat)
-        y1n = _to_node_major(y1)
-        agg_v = _gather_sep(plan, dev, y1n)[:, 0]
-        aig_v = _gather_int(plan, dev, y1n)
-        zi = _aii_solve(plan, dev, aig_v)
-        y2 = stencil_bsr_spmm_t(
-            a_stencil, _from_node_major(_embed_int(plan, dev, zi))
-        )
-        agi_zi = _gather_sep(plan, dev, _to_node_major(y2))[:, 0]
-        sv = (agg_v - agi_zi) * dev["sep_mask"]
-        # identity on padding keeps pad Ritz values at 1 (never deflated)
-        return sv + v * (1.0 - dev["sep_mask"])
+    @jax.jit
+    def _lanczos_run(ops, dg, eg, v0):
+        def s_apply(v):
+            # S v = Agg v − Agi Aii⁻¹ Aig v via two embedded stencil SpMMs
+            vhat = _from_node_major(_embed_sep(plan, ops, v[:, None]))
+            y1 = stencil_bsr_spmm_t(ops["a_stencil"], vhat)
+            y1n = _to_node_major(y1)
+            agg_v = _gather_sep(plan, ops, y1n)[:, 0]
+            aig_v = _gather_int(plan, ops, y1n)
+            zi = _aii_solve(plan, ops, aig_v)
+            y2 = stencil_bsr_spmm_t(
+                ops["a_stencil"], _from_node_major(_embed_int(plan, ops, zi))
+            )
+            agi_zi = _gather_sep(plan, ops, _to_node_major(y2))[:, 0]
+            sv = (agg_v - agi_zi) * ops["sep_mask"]
+            # identity on padding keeps pad Ritz values at 1 (never deflated)
+            return sv + v * (1.0 - ops["sep_mask"])
 
-    def b_apply(v):
-        y = block_banded_matvec(d_g, e_g, _sep_band(plan, v[:, None]))
-        return _sep_flat(plan, y)[:, 0]
+        def b_apply(v):
+            y = block_banded_matvec(dg, eg, _sep_band(plan, v[:, None]))
+            return _sep_flat(plan, y)[:, 0]
 
-    def op_apply(v):
-        return _agg_solve(plan, dev, s_apply(v)[:, None])[:, 0]
+        def op_apply(v):
+            return _agg_solve(plan, ops, s_apply(v)[:, None])[:, 0]
 
-    v0 = jnp.asarray(sep_mask * 1e-2, dtype=dtype)
-    lancz = jax.jit(
-        lambda: lanczos_gen(
+        lancz = lanczos_gen(
             op_apply, b_apply, ng_pad, ncv_eff, dtype=jnp.dtype(dtype), v0=v0
         )
-    )()
+        theta = lancz.eigvalues[:nev]
+        vecs = lancz.eigvectors[:, :nev]
+        bnorm2 = jax.vmap(lambda c: jnp.vdot(c, b_apply(c)), in_axes=1)(vecs)
+        return theta, vecs, bnorm2
+
+    v0 = jnp.asarray(sep_mask * 1e-2, dtype=dtype)
+    theta, vecs, bnorm2 = _lanczos_run(dev, d_g, e_g, v0)
 
     # device-side static selection: theta ascending, keep λ ≤ tol among the
     # first `nev`; σ = (tol−λ)/λ (reference lorasc_eigsolve.c:247), unselected
     # columns get σ = 0 (no effect)
-    theta = lancz.eigvalues[:nev]
-    vecs = lancz.eigvectors[:, :nev]
-    bnorm2 = jax.vmap(lambda c: jnp.vdot(c, b_apply(c)), in_axes=1)(vecs)
     ok = (theta <= deflation_tol) & (bnorm2 > 0.5)
     lam_eff = jnp.maximum(theta, deflation_tol * 1e-4)
     sigma = jnp.where(ok, (deflation_tol - lam_eff) / lam_eff, 0.0).astype(dtype)
