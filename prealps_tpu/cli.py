@@ -36,6 +36,29 @@ def _load_matrix(args):
     return gen(nx, ny, nz)
 
 
+def _load_rhs(args, n):
+    """rhs from --rhs file or random (reference drivers seed srand and
+    generate when no file is given, test_ecg_prealps_op.c:174)."""
+    if getattr(args, "rhs", None):
+        from prealps_tpu.core.io import load_vector
+
+        b = load_vector(args.rhs)
+        if b.shape[0] != n:
+            raise SystemExit(
+                f"error: rhs length {b.shape[0]} != matrix size {n}"
+            )
+        return b
+    rng = np.random.default_rng(args.seed)
+    return rng.standard_normal(n)
+
+
+def _maybe_save_sol(args, x):
+    if getattr(args, "save_sol", None):
+        from prealps_tpu.core.io import save_vector
+
+        save_vector(args.save_sol, x)
+
+
 def _common_parser(desc):
     p = argparse.ArgumentParser(description=desc)
     p.add_argument("-m", "--matrix", help="MatrixMarket file (.mtx)")
@@ -56,6 +79,10 @@ def _common_parser(desc):
                    help="panel layout (tbn = lane-major TPU fast path)")
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rhs", help="right-hand-side vector file (one value per "
+                   "line, '%%' comments; reference: operator.c:136 RHSBuild "
+                   "loads rhs files) — default: random with --seed")
+    p.add_argument("--save-sol", help="write the solution vector to this file")
     p.add_argument("--json", action="store_true", help="machine-readable output")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="print the residual history (iteration monitor)")
@@ -77,6 +104,7 @@ def _dtype_of(args):
 
 
 def _report(args, a, b, x, info, wall):
+    _maybe_save_sol(args, x)
     relres = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
     out = {
         "n": a.shape[0], "nnz": a.nnz, "iters": info["iters"],
@@ -109,8 +137,7 @@ def ecg_main(argv=None):
     from prealps_tpu.solvers import ECGOptions
 
     a = _load_matrix(args)
-    rng = np.random.default_rng(args.seed)
-    b = rng.standard_normal(a.shape[0])
+    b = _load_rhs(args, a.shape[0])
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
                       variant=args.ortho_alg, adaptive=args.adaptive,
                       layout=args.layout)
@@ -139,8 +166,7 @@ def lorasc_main(argv=None):
     from prealps_tpu.solvers import ECGOptions
 
     a = _load_matrix(args)
-    rng = np.random.default_rng(args.seed)
-    b = rng.standard_normal(a.shape[0])
+    b = _load_rhs(args, a.shape[0])
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
                       variant=args.ortho_alg, adaptive=args.adaptive)
     kwargs = dict(nparts=args.nparts, deflation_tol=args.deflation_tol,

@@ -156,3 +156,46 @@ class TestExampleScripts:
         fn, args = g.entry()
         out = jax.jit(fn)(*args)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestCliVectorIO:
+    """--rhs / --save-sol driver parity (reference: operator.c:136 RHSBuild,
+    preAlps_doublevector.c load/save)."""
+
+    def test_rhs_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from prealps_tpu.cli import ecg_main
+        from prealps_tpu.core.io import load_vector, save_vector
+
+        rng = np.random.default_rng(7)
+        n = 3 * 7 * 6 * 5  # elasticity3d(6,5,5) size
+        b = rng.standard_normal(n)
+        rhs_path = tmp_path / "rhs.txt"
+        sol_path = tmp_path / "sol.txt"
+        save_vector(str(rhs_path), b)
+        np.testing.assert_allclose(load_vector(str(rhs_path)), b, rtol=1e-15)
+
+        rc = ecg_main([
+            "--size", "6x5x5", "-e", "2", "--json",
+            "--rhs", str(rhs_path), "--save-sol", str(sol_path),
+            "-t", "1e-6",
+        ])
+        assert rc == 0
+        x = load_vector(str(sol_path))
+        from prealps_tpu.core.generators import elasticity3d
+
+        a = elasticity3d(6, 5, 5)
+        assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-4
+
+    def test_rhs_length_mismatch_errors(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from prealps_tpu.cli import ecg_main
+        from prealps_tpu.core.io import save_vector
+
+        rhs_path = tmp_path / "rhs.txt"
+        save_vector(str(rhs_path), np.ones(10))
+        with pytest.raises(SystemExit):
+            ecg_main(["--size", "6x5x5", "--rhs", str(rhs_path)])
