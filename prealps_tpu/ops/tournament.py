@@ -86,3 +86,58 @@ def tp_cur(a: jax.Array, k: int, nblocks: int = 8):
     # U = C⁺ A R⁺ via least squares through the selected cross block
     u = jnp.linalg.pinv(c) @ a @ jnp.linalg.pinv(r)
     return c, u, r, cols, rows
+
+
+# ---------------------------------------------------------------------------
+# cross-shard (mesh) tournament — the distributed reduction tree
+# ---------------------------------------------------------------------------
+
+def tournament_select_sharded(
+    a_loc: jax.Array, axis_name: str, k: int, nblocks: int = 8
+) -> jax.Array:
+    """Tournament pivoting across a column-sharded matrix inside shard_map.
+
+    a_loc: (m, n_loc) — this shard's column panel. Returns GLOBAL column
+    indices (k,), replicated on every shard (columns are numbered
+    shard-major: global = shard * n_loc + local).
+
+    The reference's binary reduction tree moves candidate columns up
+    log2(P) MPI levels (reference: utils/iterativeKernels/
+    tournamentPivoting.c:41-80). On a TPU mesh the latency-optimal shape is
+    ONE fused all_gather of every shard's k winner columns (S·k·m values)
+    followed by a replicated final round — collectives are cheap on ICI and
+    S·k panels are small; a log-depth ppermute chain would serialise
+    log2(S) latencies for no volume saving.
+    """
+    n_loc = a_loc.shape[1]
+    k_loc = min(k, n_loc)
+    sel_loc = tournament_select(a_loc, k_loc, nblocks)   # (k_loc,) local ids
+    panel_loc = a_loc[:, sel_loc]                        # (m, k_loc)
+    panels = jax.lax.all_gather(panel_loc, axis_name, axis=1, tiled=True)
+    sels = jax.lax.all_gather(sel_loc, axis_name, axis=0, tiled=False)
+    win = qrcp_select(panels, k)                         # among S*k_loc
+    shard = win // k_loc
+    within = win % k_loc
+    return shard * n_loc + sels[shard, within]
+
+
+def tp_qr_sharded(a_loc: jax.Array, axis_name: str, k: int, nblocks: int = 8):
+    """Distributed TP-QR of a column-sharded matrix.
+
+    Returns (q, r_loc, cols): q (m, k) replicated orthonormal basis of the
+    k tournament-selected columns, r_loc = qᵀ a_loc (k, n_loc) sharded like
+    the input, cols (k,) global indices (replicated).
+    (reference: utils/iterativeKernels/tournamentPivotingQR.c)"""
+    from prealps_tpu.ops.tsqr import tsqr
+
+    n_loc = a_loc.shape[1]
+    k_loc = min(k, n_loc)
+    sel_loc = tournament_select(a_loc, k_loc, nblocks)
+    panel_loc = a_loc[:, sel_loc]
+    panels = jax.lax.all_gather(panel_loc, axis_name, axis=1, tiled=True)
+    sels = jax.lax.all_gather(sel_loc, axis_name, axis=0, tiled=False)
+    win = qrcp_select(panels, k)
+    cols = (win // k_loc) * n_loc + sels[win // k_loc, win % k_loc]
+    q, _ = tsqr(panels[:, win], nblocks=nblocks)         # replicated (m, k)
+    r_loc = jnp.einsum("mk,mn->kn", q, a_loc, precision=HIGHEST)
+    return q, r_loc, cols
