@@ -274,3 +274,101 @@ def from_band(plan: BandPlan, w: jax.Array) -> list[np.ndarray]:
         out[plan.perm[i, :m]] = w[i, :m]
         outs.append(out)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# two-level: solve with block rows sharded over an inner mesh axis
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BlockBandedCholesky2L:
+    """Block-banded factors prepared for an inner ("local") mesh axis.
+
+    The sequential block recursion stays, but each step's GEMMs are
+    row-sharded over the inner axis (the reference's localLevel analog:
+    the per-group MPI ranks collaborating on one MUMPS Aii solve,
+    reference: src/preconditioners/lorasc.c:222-243). The cross-step
+    couplings are folded into precomputed products so each step needs ONE
+    in-group all_gather:
+
+      forward:  y_i = L_i⁻¹ v_i − (L_i⁻¹ M_i) y_{i−1}
+      backward: w_i = L_i⁻ᵀ y_i − (L_i⁻ᵀ M_{i+1}ᵀ) w_{i+1}
+    """
+
+    l_inv: jax.Array    # (P, nblk, bs, bs)
+    w_fwd: jax.Array    # (P, nblk, bs, bs) = L_i⁻¹ M_i
+    l_inv_t: jax.Array  # (P, nblk, bs, bs) = L_i⁻ᵀ
+    w_bwd: jax.Array    # (P, nblk, bs, bs) = L_i⁻ᵀ M_{i+1}ᵀ
+
+    def tree_flatten(self):
+        return (self.l_inv, self.w_fwd, self.l_inv_t, self.w_bwd), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def prepare_two_level(fac: BlockBandedCholesky) -> BlockBandedCholesky2L:
+    """Fold the factors for the row-sharded solve (build-time, on device)."""
+    l_inv, m_off = fac.l_inv, fac.m_off
+    w_fwd = jnp.einsum("pnij,pnjk->pnik", l_inv, m_off, precision=HIGHEST)
+    l_inv_t = jnp.swapaxes(l_inv, -1, -2)
+    m_next = jnp.concatenate(
+        [m_off[:, 1:], jnp.zeros_like(m_off[:, :1])], axis=1
+    )
+    w_bwd = jnp.einsum(
+        "pnij,pnkj->pnik", l_inv_t, m_next, precision=HIGHEST
+    )
+    return BlockBandedCholesky2L(
+        l_inv=l_inv, w_fwd=w_fwd, l_inv_t=l_inv_t, w_bwd=w_bwd
+    )
+
+
+def block_banded_solve_two_level(
+    fac2: BlockBandedCholesky2L, v: jax.Array, axis_name: str, n_local: int
+) -> jax.Array:
+    """Row-sharded solve inside shard_map over the inner axis.
+
+    fac2 arrays arrive SHARDED on their bs (row) axis: (P, nblk, bs/L, bs).
+    v arrives REPLICATED in-group: (P, nblk, bs, t). Returns the full
+    replicated solution (P, nblk, bs, t) — one in-group all_gather per block
+    step.
+    """
+    l_inv = jnp.swapaxes(fac2.l_inv, 0, 1)      # (nblk, P, bs/L, bs)
+    w_fwd = jnp.swapaxes(fac2.w_fwd, 0, 1)
+    l_inv_t = jnp.swapaxes(fac2.l_inv_t, 0, 1)
+    w_bwd = jnp.swapaxes(fac2.w_bwd, 0, 1)
+    v_t = jnp.swapaxes(v, 0, 1)                 # (nblk, P, bs, t)
+    p_n, bs, t = v_t.shape[1], v_t.shape[2], v_t.shape[3]
+
+    def gather(y_chunk):
+        # (P, bs/L, t) -> (P, bs, t), in-group
+        return jax.lax.all_gather(
+            y_chunk, axis_name, axis=1, tiled=True
+        )
+
+    zero = jnp.zeros((p_n, bs, t), v.dtype)
+
+    def fwd(y_prev, inp):
+        l_i, w_i, v_i = inp
+        y_chunk = (
+            jnp.einsum("pij,pjt->pit", l_i, v_i, precision=HIGHEST)
+            - jnp.einsum("pij,pjt->pit", w_i, y_prev, precision=HIGHEST)
+        )
+        y_i = gather(y_chunk)
+        return y_i, y_i
+
+    _, y = jax.lax.scan(fwd, zero, (l_inv, w_fwd, v_t))
+
+    def bwd(w_next, inp):
+        lt_i, wb_i, y_i = inp
+        w_chunk = (
+            jnp.einsum("pij,pjt->pit", lt_i, y_i, precision=HIGHEST)
+            - jnp.einsum("pij,pjt->pit", wb_i, w_next, precision=HIGHEST)
+        )
+        w_i = gather(w_chunk)
+        return w_i, w_i
+
+    _, w = jax.lax.scan(bwd, zero, (l_inv_t, w_bwd, y), reverse=True)
+    return jnp.swapaxes(w, 0, 1)

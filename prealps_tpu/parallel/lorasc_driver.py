@@ -1,22 +1,31 @@
-"""Distributed ECG + LORASC driver.
+"""Distributed ECG + LORASC driver (general matrices, 1-D or 2-level mesh).
 
 (reference: examples/test_lorasc.c + src/preconditioners/lorasc.c multilevel
-apply, lorasc.c:368-618.) TPU-native distribution:
+build/apply, lorasc.c:95-311/368-618.) TPU-native distribution:
 
-* block-arrow structure with nshards interior parts (host, core/partition.py);
-* each shard owns [its interior part ∥ its separator slice] — the same row
-  contract as the reference's per-rank layout (preAlps_utils.c:417-497
-  separator split), padded to uniform static shapes;
-* apply = local batched-Cholesky interior solves + ONE psum of the (ng × t)
-  separator right-hand side + replicated small dense Agg solve and low-rank
-  correction (the reference's rooted Reduce/Bcast pair becomes psum +
-  replicated compute — no root bottleneck, no broadcast);
-* the ECG loop itself is the standard shard_map program (psum reductions).
+* block-arrow structure with `ngroups` interior parts (host,
+  core/partition.py); each group owns [its interior part ∥ its separator
+  slice], padded to uniform static shapes — the reference's per-rank row
+  contract (preAlps_utils.c:417-497).
+* interiors are factored as batched BLOCK-BANDED Cholesky after per-part RCM
+  (direct/banded.py) — n·band memory, replacing round-1's dense (ni_max)²
+  inverses; the factorization itself runs on device, sharded over groups.
+* the deflation eigenproblem S u = λ Agg u runs as the jittable Lanczos
+  (ops/lanczos.py) INSIDE shard_map — matrix-free S·v over the sharded
+  pieces (the matrixVectorOp.c:104 AggInvxS analog), replacing round-1's
+  explicitly assembled dense Schur complement + host eigh.
+* apply = banded interior solves + ONE psum of the (ng × t) separator rhs +
+  replicated small dense Agg solve and low-rank correction (the reference's
+  rooted Reduce/Bcast pair becomes psum + replicated compute).
 
-The reference's two comm levels (masterLevel/localLevel MPI splits,
-preAlps_utils.c:687) collapse here into mesh axes: this driver uses a 1-D
-mesh; on multi-pod deployments the same code runs with the separator psum
-scoped to the outer (DCN) axis and interior solves on the inner (ICI) axis.
+Two-level mesh (reference: preAlps_utils.c:687 comm2LevelsSplit
+masterLevel/localLevel; multilevel Aii via MUMPS, lorasc.c:222-243): pass
+mesh_shape=(G, L). The mesh gets axes ("shards", "local"); rows shard over
+the flat product for the SpMM, while each group's interior solve row-shards
+its banded factors over the INNER axis (block_banded_solve_two_level — the
+localLevel ranks collaborating on one Aii solve), and every Agi/Aig product
+row-shards over the inner axis too. Separator reductions psum over BOTH
+axes. mesh_shape=None is the 1-D case (L=1 internally, same code path).
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 try:
@@ -35,13 +45,20 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-from prealps_tpu.core.partition import block_arrow_structure, nsplit, permute, rcm_order
+from prealps_tpu.core.partition import block_arrow_structure, nsplit, permute
 from prealps_tpu.core.scaling import sym_rac_scaling
-from prealps_tpu.parallel.mesh import make_mesh
-from prealps_tpu.precond.lorasc import schur_complement_dense
+from prealps_tpu.direct.banded import (
+    assemble_host,
+    block_banded_cholesky,
+    plan_block_banded,
+    prepare_two_level,
+)
 from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve
+from prealps_tpu.solvers.refine import refine_solve
 
 AXIS = "shards"
+LOC = "local"
+HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _ell_arrays(a: sp.spmatrix, width: int, dtype):
@@ -59,23 +76,33 @@ def _ell_arrays(a: sp.spmatrix, width: int, dtype):
     return vals, cols
 
 
+def _round_up(x: int, mult: int) -> int:
+    return -(-max(x, 1) // mult) * mult
+
+
 @dataclass
 class DistributedLorascECG:
     """ECG with distributed LORASC. Build once, solve many."""
 
-    nshards: int
+    ngroups: int
+    nlocal: int
     ni_max: int
     ng_max: int
     n: int
     scale_d: Optional[np.ndarray]
     arrow_perm: np.ndarray       # arrow position -> original row
-    row_of: np.ndarray           # padded global position -> original row (-1 pad)
+    row_of: np.ndarray           # padded global position -> arrow row (-1 pad)
     opts: ECGOptions
     deflated: int
     _fn: object
     _operands: tuple
     target_tol: float = 0.0
     a_scaled: object = None
+
+    # kept for API compat with round-1 callers
+    @property
+    def nshards(self):
+        return self.ngroups
 
     @classmethod
     def build(
@@ -85,14 +112,15 @@ class DistributedLorascECG:
         opts: ECGOptions = ECGOptions(),
         deflation_tol: float = 1e-2,
         max_deflation: int = 64,
+        ncv: Optional[int] = None,
         scale: bool = True,
         dtype=None,
         refine: Optional[bool] = None,
         inner_tol: float = 1e-3,
+        mesh_shape: Optional[tuple] = None,
+        shift: float = 0.0,
     ) -> "DistributedLorascECG":
-        # f32 solves need true-f32 MXU passes: default (bf16) matmul
-        # precision inside the small factorizations silently breaks CG
-        # orthogonality on TPU (HIGHEST is a no-op on CPU/f64).
+        # f32 solves need true-f32 MXU passes (bf16 breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
         a = sp.csr_matrix(a)
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
@@ -105,270 +133,383 @@ class DistributedLorascECG:
         if refine:
             from dataclasses import replace as _dc_replace
 
-            # inner solves: stop on stagnation (an early stop just hands the
-            # remaining work to the next refinement round)
             opts = _dc_replace(
-                opts, tol=inner_tol,
-                stall_window=opts.stall_window or 250,
+                opts, tol=inner_tol, stall_window=opts.stall_window or 250
             )
-        mesh = make_mesh(nshards, AXIS)
-        nshards = mesh.devices.size
+
+        # --- mesh: always 2-D internally; (G, 1) is the 1-D case ---
+        if mesh_shape is None:
+            g_n = nshards or len(jax.devices())
+            l_n = 1
+        else:
+            g_n, l_n = mesh_shape
+        devices = jax.devices()
+        if g_n * l_n > len(devices):
+            raise ValueError(
+                f"mesh {g_n}x{l_n} needs {g_n*l_n} devices, have {len(devices)}"
+            )
+        mesh = Mesh(
+            np.array(devices[: g_n * l_n]).reshape(g_n, l_n), (AXIS, LOC)
+        )
         n = a.shape[0]
 
-        # --- block-arrow structure, one interior part per shard ---
-        arrow = block_arrow_structure(a, nshards)
+        # --- block-arrow structure, one interior part per group ---
+        arrow = block_arrow_structure(a, g_n)
         ap = permute(a, arrow.perm)
         ni_tot, ng_tot = arrow.sep_start, arrow.sep_size
         off = arrow.interior_offsets
 
-        # separator slices per shard (reference: CPLM_nsplit split)
-        sep_off = nsplit(ng_tot, nshards)
-        ni_max = int(np.diff(off).max())
-        ng_max = int(np.diff(sep_off).max())
-        ng_pad = ng_max * nshards
+        aii = ap[:ni_tot, :ni_tot]
+        aig = ap[:ni_tot, ni_tot:]
+        agi = ap[ni_tot:, :ni_tot]
+        agg = ap[ni_tot:, ni_tot:]
 
-        # --- per-shard padded row map: [interior_p | sep slice_p] ---
-        rows_per_shard = ni_max + ng_max
-        n_pad = rows_per_shard * nshards
+        # --- banded interior factors (replaces dense inverses) ---
+        blocks = [
+            aii[int(off[s]): int(off[s + 1]), int(off[s]): int(off[s + 1])]
+            for s in range(g_n)
+        ]
+        bplan = plan_block_banded(
+            blocks, order="rcm", bs_multiple=int(np.lcm(8, l_n))
+        )
+        d_np, e_np = assemble_host(bplan, blocks, dtype=dtype)
+        rows_band = bplan.rows_padded          # nblk * bs
+
+        # every group's interior padded to ni_max rows (multiple of l_n)
+        ni_max = _round_up(max(rows_band, int(np.diff(off).max())), l_n)
+        # band gather maps: local interior row (arrow order) <-> band position
+        band_perm = np.zeros((g_n, rows_band), dtype=np.int32)   # band pos -> local row
+        band_inv = np.zeros((g_n, ni_max), dtype=np.int32)       # local row -> band pos
+        int_mask = np.zeros((g_n, ni_max), dtype=dtype)          # 1 on real rows
+        for s in range(g_n):
+            m = int(bplan.sizes[s])
+            band_perm[s, :m] = bplan.perm[s, :m]
+            band_perm[s, m:] = np.minimum(np.arange(m, rows_band), ni_max - 1)
+            band_inv[s, :m] = bplan.inv_perm[s, :m]
+            # pad rows map anywhere valid — they are masked to zero after
+            # every interior solve (int_mask) so they never enter the Krylov
+            # space and M stays SPD on the real subspace
+            band_inv[s, m:] = 0
+            int_mask[s, :m] = 1.0
+
+        # separator slices per group (reference: CPLM_nsplit split)
+        sep_off = nsplit(ng_tot, g_n)
+        ng_max = _round_up(int(np.diff(sep_off).max()), l_n)
+        ng_pad = ng_max * g_n
+
+        # --- per-group padded row map: [interior_p | sep slice_p] ---
+        rows_per_group = ni_max + ng_max
+        if rows_per_group % l_n:
+            ng_max += l_n - (rows_per_group % l_n)
+            ng_pad = ng_max * g_n
+            rows_per_group = ni_max + ng_max
+        n_pad = rows_per_group * g_n
         row_of = np.full(n_pad, -1, dtype=np.int64)  # padded pos -> arrow pos
-        for s in range(nshards):
+        for s in range(g_n):
             i0, i1 = int(off[s]), int(off[s + 1])
-            base = s * rows_per_shard
+            base = s * rows_per_group
             row_of[base: base + (i1 - i0)] = np.arange(i0, i1)
             g0, g1 = int(sep_off[s]), int(sep_off[s + 1])
-            row_of[base + ni_max: base + ni_max + (g1 - g0)] = ni_tot + np.arange(g0, g1)
+            row_of[base + ni_max: base + ni_max + (g1 - g0)] = (
+                ni_tot + np.arange(g0, g1)
+            )
 
         # padded separator indexing: padded sep pos = s*ng_max + j
-        sep_pad_of = np.full(ng_pad, -1, dtype=np.int64)  # padded sep -> arrow sep idx
-        for s in range(nshards):
+        sep_pad_of = np.full(ng_pad, -1, dtype=np.int64)
+        sep_slice_mask = np.zeros((g_n, ng_max), dtype=dtype)
+        for s in range(g_n):
             g0, g1 = int(sep_off[s]), int(sep_off[s + 1])
             sep_pad_of[s * ng_max: s * ng_max + (g1 - g0)] = np.arange(g0, g1)
+            sep_slice_mask[s, : g1 - g0] = 1.0
+        realg = sep_pad_of >= 0
+        arrow_sep_to_pad = np.zeros(max(ng_tot, 1), dtype=np.int64)
+        arrow_sep_to_pad[sep_pad_of[realg]] = np.flatnonzero(realg)
 
-        # --- the padded operator in per-shard row order (for the ECG SpMM) ---
-        arrow_to_pad = np.full(n + 1, n_pad, dtype=np.int64)  # arrow pos -> padded pos
+        # --- padded operator in per-group row order (ECG SpMM, ELL) ---
+        arrow_to_pad = np.full(n + 1, n_pad, dtype=np.int64)
         real = row_of >= 0
         arrow_to_pad[row_of[real]] = np.flatnonzero(real)
         coo = ap.tocoo()
         rows = arrow_to_pad[coo.row]
         colsg = arrow_to_pad[coo.col]
         pad_rows = np.flatnonzero(~real)
-        data = np.concatenate([coo.data, np.ones(pad_rows.size, dtype=coo.data.dtype)])
+        data = np.concatenate(
+            [coo.data, np.ones(pad_rows.size, dtype=coo.data.dtype)]
+        )
         rows = np.concatenate([rows, pad_rows])
         colsg = np.concatenate([colsg, pad_rows])
         a_pad = sp.coo_matrix((data, (rows, colsg)), shape=(n_pad, n_pad)).tocsr()
         ell_w = int(np.diff(a_pad.indptr).max())
         ell_vals, ell_cols = _ell_arrays(a_pad, ell_w, dtype)
 
-        # --- LORASC pieces ---
-        aii = ap[:ni_tot, :ni_tot]
-        aig = ap[:ni_tot, ni_tot:]
-        agi = ap[ni_tot:, :ni_tot]
-        agg = ap[ni_tot:, ni_tot:]
-
-        # interior factors: one dense block per shard (RCM-ordered),
-        # stored as explicit inverse for the GEMM fast path on device
-        aii_inv = np.zeros((nshards, ni_max, ni_max), dtype=dtype)
-        int_perm = np.empty(ni_tot, dtype=np.int64)  # arrow interior -> rcm order
-        for s in range(nshards):
-            i0, i1 = int(off[s]), int(off[s + 1])
-            sub = aii[i0:i1, i0:i1]
-            p = rcm_order(sub) if (i1 - i0) > 2 else np.arange(i1 - i0)
-            int_perm[i0:i1] = i0 + p
-            dense = np.eye(ni_max)
-            dense[: i1 - i0, : i1 - i0] = sub[p][:, p].toarray()
-            aii_inv[s] = np.linalg.inv(dense).astype(dtype)
-        # NOTE: interior rows inside each shard keep their arrow order in the
-        # padded operator; the factor uses RCM order internally, so the apply
-        # permutes in/out with int_perm (per-shard local indices).
-        int_local_perm = np.zeros((nshards, ni_max), dtype=np.int32)
-        for s in range(nshards):
-            i0, i1 = int(off[s]), int(off[s + 1])
-            loc = int_perm[i0:i1] - i0
-            int_local_perm[s, : i1 - i0] = loc
-            int_local_perm[s, i1 - i0:] = np.arange(i1 - i0, ni_max)
-        int_local_inv = np.argsort(int_local_perm, axis=1).astype(np.int32)
-
-        # Agi per shard: rows = padded separator (replicated), cols = local
-        # interior of shard s
+        # --- Agi / Aig in padded coordinates, rows shardable over l_n ---
         l_agi = 1
         agi_parts = []
-        for s in range(nshards):
+        for s in range(g_n):
             i0, i1 = int(off[s]), int(off[s + 1])
             blk = agi[:, i0:i1].tocsr()
             l_agi = max(l_agi, int(np.diff(blk.indptr).max()) if blk.nnz else 1)
             agi_parts.append(blk)
-        agi_vals = np.zeros((nshards, ng_pad, l_agi), dtype=dtype)
-        agi_cols = np.zeros((nshards, ng_pad, l_agi), dtype=np.int32)
+        agi_vals = np.zeros((g_n, ng_pad, l_agi), dtype=dtype)
+        agi_cols = np.zeros((g_n, ng_pad, l_agi), dtype=np.int32)
         for s, blk in enumerate(agi_parts):
             v, c = _ell_arrays(blk, l_agi, dtype)
-            # scatter rows into padded separator positions
-            arrow_sep_to_pad = np.full(ng_tot, 0, dtype=np.int64)
-            realg = sep_pad_of >= 0
-            arrow_sep_to_pad[sep_pad_of[realg]] = np.flatnonzero(realg)
             agi_vals[s, arrow_sep_to_pad] = v
             agi_cols[s, arrow_sep_to_pad] = c
 
-        # Aig per shard: rows = local interior, cols = padded separator
-        arrow_sep_to_pad = np.full(ng_tot, 0, dtype=np.int64)
-        realg = sep_pad_of >= 0
-        arrow_sep_to_pad[sep_pad_of[realg]] = np.flatnonzero(realg)
         l_aig = 1
         aig_parts = []
-        for s in range(nshards):
+        for s in range(g_n):
             i0, i1 = int(off[s]), int(off[s + 1])
             blk = aig[i0:i1, :].tocsr()
             l_aig = max(l_aig, int(np.diff(blk.indptr).max()) if blk.nnz else 1)
             aig_parts.append(blk)
-        aig_vals = np.zeros((nshards, ni_max, l_aig), dtype=dtype)
-        aig_cols = np.zeros((nshards, ni_max, l_aig), dtype=np.int32)
+        aig_vals = np.zeros((g_n, ni_max, l_aig), dtype=dtype)
+        aig_cols = np.zeros((g_n, ni_max, l_aig), dtype=np.int32)
         for s, blk in enumerate(aig_parts):
             v, c = _ell_arrays(blk, l_aig, dtype)
             aig_vals[s, : v.shape[0]] = v
             aig_cols[s, : v.shape[0]] = arrow_sep_to_pad[c.ravel()].reshape(c.shape)
 
-        # Agg (padded) dense inverse-free Cholesky + deflation (host)
+        # --- Agg: padded dense Cholesky (replicated) + ELL for matvecs ---
         agg_pad = np.eye(ng_pad)
-        agg_dense = agg.toarray()
+        agg_dense = agg.toarray() if ng_tot else np.zeros((0, 0))
         idx = np.flatnonzero(realg)
-        agg_pad[np.ix_(idx, idx)] = agg_dense[np.ix_(sep_pad_of[realg], sep_pad_of[realg])]
-        agg_chol = np.linalg.cholesky(agg_pad)
+        if ng_tot:
+            agg_pad[np.ix_(idx, idx)] = agg_dense[
+                np.ix_(sep_pad_of[realg], sep_pad_of[realg])
+            ]
+        np.linalg.cholesky(agg_pad)   # fail fast if the separator is not SPD
+        agg_inv = np.linalg.inv(agg_pad)  # replicated GEMM apply (TPU-fast)
+        agg_csr = sp.csr_matrix(agg_pad)
+        agg_w = max(int(np.diff(agg_csr.indptr).max()), 1)
+        agg_ell_v, agg_ell_c = _ell_arrays(agg_csr, agg_w, dtype)
 
-        s_dense = schur_complement_dense(
-            aii.tocsr(), aig.tocsr(), agi.tocsr(), agg.tocsr()
-        )
-        import scipy.linalg
+        # --- factor interiors on device (the solve's in_specs shard them) ---
+        fac2 = jax.jit(
+            lambda d, e: prepare_two_level(
+                block_banded_cholesky(d, e, shift=shift)
+            )
+        )(jnp.asarray(d_np), jnp.asarray(e_np))
 
-        lam, vecs = scipy.linalg.eigh(s_dense, agg_dense)
-        sel = np.flatnonzero(lam <= deflation_tol)[:max_deflation]
-        if sel.size == 0:
-            e_pad = np.zeros((ng_pad, 1))
-            sigma = np.zeros((1,))
-        else:
-            e_pad = np.zeros((ng_pad, sel.size))
-            e_pad[idx] = vecs[:, sel][sep_pad_of[realg]]
-            sigma = (deflation_tol - lam[sel]) / lam[sel]
+        nblk, bs = bplan.nblk, bplan.bs
+        t = opts.t
 
-        # --- device operands ---
         operands = dict(
             ell_vals=jnp.asarray(ell_vals), ell_cols=jnp.asarray(ell_cols),
-            aii_inv=jnp.asarray(aii_inv),
-            int_perm=jnp.asarray(int_local_perm), int_inv=jnp.asarray(int_local_inv),
+            fac=fac2,
+            band_perm=jnp.asarray(band_perm), band_inv=jnp.asarray(band_inv),
+            int_mask=jnp.asarray(int_mask),
+            sep_slice_mask=jnp.asarray(sep_slice_mask),
             agi_vals=jnp.asarray(agi_vals), agi_cols=jnp.asarray(agi_cols),
             aig_vals=jnp.asarray(aig_vals), aig_cols=jnp.asarray(aig_cols),
-            agg_chol=jnp.asarray(agg_chol.astype(dtype)),
-            e_mat=jnp.asarray(e_pad.astype(dtype)),
-            sigma=jnp.asarray(sigma.astype(dtype)),
+            agg_inv=jnp.asarray(agg_inv.astype(dtype)),
+            agg_ell_v=jnp.asarray(agg_ell_v), agg_ell_c=jnp.asarray(agg_ell_c),
         )
+        flat_rows = P((AXIS, LOC))
         specs = dict(
-            ell_vals=P(AXIS, None), ell_cols=P(AXIS, None),
-            aii_inv=P(AXIS, None, None),
-            int_perm=P(AXIS, None), int_inv=P(AXIS, None),
-            agi_vals=P(AXIS, None, None), agi_cols=P(AXIS, None, None),
-            aig_vals=P(AXIS, None, None), aig_cols=P(AXIS, None, None),
-            agg_chol=P(), e_mat=P(), sigma=P(),
+            ell_vals=flat_rows, ell_cols=flat_rows,
+            fac=jax.tree_util.tree_map(
+                lambda _: P(AXIS, None, LOC, None), fac2
+            ),
+            band_perm=P(AXIS, None), band_inv=P(AXIS, None),
+            int_mask=P(AXIS, None), sep_slice_mask=P(AXIS, None),
+            agi_vals=P(AXIS, LOC, None), agi_cols=P(AXIS, LOC, None),
+            aig_vals=P(AXIS, LOC, None), aig_cols=P(AXIS, LOC, None),
+            agg_inv=P(), agg_ell_v=P(), agg_ell_c=P(),
         )
 
+        both = (AXIS, LOC)
+        rpl = rows_per_group // l_n           # rows per device
+        ni_loc = ni_max // l_n
+        ngp_loc = ng_pad // l_n
+
+        from prealps_tpu.direct.banded import block_banded_solve_two_level
+
+        def _aii_solve_grp(ops_d, vi_grp):
+            """vi_grp: (ni_max, t) replicated in-group -> solved, in-group.
+            Pad rows are masked to zero on entry AND exit (SPD on the real
+            subspace; see band_inv construction)."""
+            vi_grp = vi_grp * ops_d["int_mask"][0][:, None]
+            vb = vi_grp[ops_d["band_perm"][0]][None].reshape(1, nblk, bs, -1)
+            zb = block_banded_solve_two_level(ops_d["fac"], vb, LOC, l_n)
+            out = zb.reshape(rows_band, -1)[ops_d["band_inv"][0]]
+            return out * ops_d["int_mask"][0][:, None]
+
+        def _sep_assemble(ops_d, vg_grp, zi_grp):
+            """g = scatter(vg) − Agi zi, psum over BOTH axes -> replicated."""
+            t_dim = zi_grp.shape[1]
+            agiz = jnp.einsum(
+                "gl,glt->gt", ops_d["agi_vals"][0],
+                zi_grp[ops_d["agi_cols"][0]], precision=HIGHEST,
+            )  # (ngp_loc, t): this device's Agi row chunk
+            g_idx = jax.lax.axis_index(AXIS)
+            l_idx = jax.lax.axis_index(LOC)
+            g_full = jnp.zeros((ng_pad, t_dim), zi_grp.dtype)
+            g_full = jax.lax.dynamic_update_slice(
+                g_full, -agiz, ((l_idx * ngp_loc).astype(jnp.int32), jnp.int32(0))
+            )
+            # vg contribution: group g's sep slice, added once per group
+            vg_once = jnp.where(l_idx == 0, 1.0, 0.0).astype(zi_grp.dtype) * vg_grp
+            g_full = jax.lax.dynamic_update_slice(
+                g_full,
+                vg_once + jax.lax.dynamic_slice(
+                    g_full, ((g_idx * ng_max).astype(jnp.int32), jnp.int32(0)),
+                    (ng_max, t_dim),
+                ),
+                ((g_idx * ng_max).astype(jnp.int32), jnp.int32(0)),
+            )
+            return jax.lax.psum(g_full, both)
+
+        def _aig_mul_grp(ops_d, zg):
+            """Aig zg for this group's interior rows: LOC-sharded chunks,
+            in-group all_gather -> (ni_max, t) replicated in-group."""
+            chunk = jnp.einsum(
+                "il,ilt->it", ops_d["aig_vals"][0], zg[ops_d["aig_cols"][0]],
+                precision=HIGHEST,
+            )  # (ni_loc, t)
+            return jax.lax.all_gather(chunk, LOC, axis=0, tiled=True)
+
+        def m_apply_grp(ops_d, e_mat, sigma, v_grp):
+            """Full LORASC sweep on the group panel (rows_per_group, t),
+            replicated in-group; returns the same shape."""
+            vi, vg = v_grp[:ni_max], v_grp[ni_max:]
+            vg = vg * ops_d["sep_slice_mask"][0][:, None]
+            zi = _aii_solve_grp(ops_d, vi)
+            g = _sep_assemble(ops_d, vg, zi)
+            corr = jnp.einsum("gk,gt->kt", e_mat, g, precision=HIGHEST)
+            zg = jnp.einsum("gh,ht->gt", ops_d["agg_inv"], g, precision=HIGHEST)
+            zg = zg + jnp.einsum(
+                "gk,kt->gt", e_mat, corr * sigma[:, None], precision=HIGHEST
+            )
+            aigz = _aig_mul_grp(ops_d, zg)
+            wi = zi - _aii_solve_grp(ops_d, aigz)
+            g_idx = jax.lax.axis_index(AXIS)
+            wg = jax.lax.dynamic_slice(
+                zg, ((g_idx * ng_max).astype(jnp.int32), jnp.int32(0)),
+                (ng_max, vi.shape[1]),
+            )
+            wg = wg * ops_d["sep_slice_mask"][0][:, None]
+            return jnp.concatenate([wi, wg], axis=0)
+
+        # --- deflation eigensolve: device Lanczos inside shard_map ---
+        nev = min(max_deflation, max(ng_tot - 1, 1))
+        ncv_eff = min(ncv or (2 * nev + 1), max(ng_tot - 1, 2))
+        sep_mask_np = (sep_pad_of >= 0).astype(dtype)
+
+        def _lanczos_local(ops_d, sep_mask, v0):
+            from prealps_tpu.ops.lanczos import lanczos_gen
+
+            def s_apply(v):
+                # S v = Agg v − Agi Aii⁻¹ Aig v (matrixVectorOp.c AggInvxS)
+                aig_v = _aig_mul_grp(ops_d, v[:, None])       # (ni_max, 1)
+                zi = _aii_solve_grp(ops_d, aig_v)
+                g = _sep_assemble(ops_d, jnp.zeros((ng_max, 1), v.dtype), zi)
+                gat = v[ops_d["agg_ell_c"]]                    # (ng_pad, L)
+                agg_v = jnp.einsum(
+                    "gl,gl->g", ops_d["agg_ell_v"], gat, precision=HIGHEST
+                )
+                sv = (agg_v + g[:, 0]) * sep_mask
+                return sv + v * (1.0 - sep_mask)
+
+            def b_apply(v):
+                gat = v[ops_d["agg_ell_c"]]
+                return jnp.einsum(
+                    "gl,gl->g", ops_d["agg_ell_v"], gat, precision=HIGHEST
+                )
+
+            def op_apply(v):
+                return jnp.einsum(
+                    "gh,h->g", ops_d["agg_inv"], s_apply(v), precision=HIGHEST
+                )
+
+            lancz = lanczos_gen(
+                op_apply, b_apply, ng_pad, ncv_eff,
+                dtype=jnp.dtype(dtype), v0=v0,
+            )
+            theta = lancz.eigvalues[:nev]
+            vecs = lancz.eigvectors[:, :nev]
+            bnorm2 = jax.vmap(lambda c: jnp.vdot(c, b_apply(c)), in_axes=1)(vecs)
+            return theta, vecs, bnorm2
+
+        lancz_fn = jax.jit(
+            _shard_map(
+                _lanczos_local, mesh=mesh,
+                in_specs=(specs, P(), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+        v0 = jnp.asarray(sep_mask_np * 1e-2, dtype=dtype)
+        theta, vecs, bnorm2 = lancz_fn(
+            operands, jnp.asarray(sep_mask_np), v0
+        )
+        ok = (theta <= deflation_tol) & (bnorm2 > 0.5)
+        lam_eff = jnp.maximum(theta, deflation_tol * 1e-4)
+        sigma = jnp.where(ok, (deflation_tol - lam_eff) / lam_eff, 0.0).astype(dtype)
+        e_mat = (vecs * jnp.asarray(sep_mask_np)[:, None]).astype(dtype)
+        deflated = int(jnp.sum(ok))
+
+        operands["e_mat"] = e_mat
+        operands["sigma"] = sigma
+        specs["e_mat"] = P()
+        specs["sigma"] = P()
+
+        # --- the jitted ECG solve ---
         def local_solve(b_loc, ops_d):
-            t = opts.t
-
             def a_apply(x_loc):
-                x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
+                x_full = jax.lax.all_gather(x_loc, both, axis=0, tiled=True)
                 gathered = x_full[ops_d["ell_cols"]]
-                return jnp.einsum("ml,mlt->mt", ops_d["ell_vals"], gathered,
-                                  precision=jax.lax.Precision.HIGHEST)
-
-            def aii_solve(vi):
-                # vi: (ni_max, t); RCM-permute, one dense GEMM, permute back
-                vp = vi[ops_d["int_perm"][0]]
-                w = jnp.einsum("ij,jt->it", ops_d["aii_inv"][0], vp,
-                               precision=jax.lax.Precision.HIGHEST)
-                return w[ops_d["int_inv"][0]]
-
-            def m_apply(v):
-                # v: (ni_max + ng_max, t) local rows [interior | sep slice]
-                vi, vg = v[:ni_max], v[ni_max:]
-                zi = aii_solve(vi)
-                # separator rhs: g = vg_scatter − Agi zi  (ONE psum)
-                agiz = jnp.einsum(
-                    "gl,glt->gt", ops_d["agi_vals"][0], zi[ops_d["agi_cols"][0]],
-                    precision=jax.lax.Precision.HIGHEST,
+                return jnp.einsum(
+                    "ml,mlt->mt", ops_d["ell_vals"], gathered, precision=HIGHEST
                 )
-                s_idx = jax.lax.axis_index(AXIS)
-                g0 = (s_idx * ng_max).astype(jnp.int32)
-                z0 = jnp.int32(0)
-                g_local = -agiz
-                g_local = jax.lax.dynamic_update_slice(
-                    g_local,
-                    vg + jax.lax.dynamic_slice(g_local, (g0, z0), (ng_max, t)),
-                    (g0, z0),
-                )
-                g = jax.lax.psum(g_local, AXIS)
-                # replicated: zg = Agg⁻¹ g + E σ Eᵀ g
-                corr = jnp.einsum("gk,gt->kt", ops_d["e_mat"], g,
-                                  precision=jax.lax.Precision.HIGHEST)
-                corr = corr * ops_d["sigma"][:, None]
-                y = jax.lax.linalg.triangular_solve(
-                    ops_d["agg_chol"], g, left_side=True, lower=True)
-                zg = jax.lax.linalg.triangular_solve(
-                    ops_d["agg_chol"], y, left_side=True, lower=True, transpose_a=True)
-                zg = zg + jnp.einsum("gk,kt->gt", ops_d["e_mat"], corr,
-                                     precision=jax.lax.Precision.HIGHEST)
-                # back-substitution
-                aigz = jnp.einsum(
-                    "il,ilt->it", ops_d["aig_vals"][0], zg[ops_d["aig_cols"][0]],
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                wi = zi - aii_solve(aigz)
-                wg = jax.lax.dynamic_slice(zg, (g0, z0), (ng_max, t))
-                return jnp.concatenate([wi, wg], axis=0)
 
-            s_idx = jax.lax.axis_index(AXIS)
-            gpos = s_idx * rows_per_shard + jnp.arange(rows_per_shard)
+            def m_apply(v_loc):
+                # (rpl, t) device chunk -> group panel -> sweep -> chunk
+                v_grp = jax.lax.all_gather(v_loc, LOC, axis=0, tiled=True)
+                w_grp = m_apply_grp(
+                    ops_d, ops_d["e_mat"], ops_d["sigma"], v_grp
+                )
+                l_idx = jax.lax.axis_index(LOC)
+                return jax.lax.dynamic_slice(
+                    w_grp, ((l_idx * rpl).astype(jnp.int32), jnp.int32(0)),
+                    (rpl, v_loc.shape[1]),
+                )
+
+            g_idx = jax.lax.axis_index(AXIS)
+            l_idx = jax.lax.axis_index(LOC)
+            gpos = g_idx * rows_per_group + l_idx * rpl + jnp.arange(rpl)
             assign = ((gpos * t) // n_pad).astype(jnp.int32)
             return ecg_solve(a_apply, m_apply, b_loc, opts,
-                             axis_name=AXIS, split_assign=assign)
+                             axis_name=both, split_assign=assign)
 
         from prealps_tpu.parallel.driver import _result_spec_tree
 
         out_specs = jax.tree_util.tree_map(lambda _: P(), _result_spec_tree())
-        out_specs = out_specs._replace(x=P(AXIS))
-        in_specs = (P(AXIS), specs)
+        out_specs = out_specs._replace(x=flat_rows)
         fn = jax.jit(
-            _shard_map(local_solve, mesh=mesh, in_specs=in_specs,
+            _shard_map(local_solve, mesh=mesh, in_specs=(flat_rows, specs),
                        out_specs=out_specs, check_vma=False)
         )
         return cls(
-            nshards=nshards, ni_max=ni_max, ng_max=ng_max, n=n,
+            ngroups=g_n, nlocal=l_n, ni_max=ni_max, ng_max=ng_max, n=n,
             scale_d=scale_d, arrow_perm=arrow.perm, row_of=row_of,
-            opts=opts, deflated=int(sel.size), _fn=fn, _operands=(operands,),
+            opts=opts, deflated=deflated, _fn=fn, _operands=(operands,),
             target_tol=target_tol, a_scaled=a if refine else None,
         )
 
     def solve(self, b: np.ndarray, max_refine_rounds: int = 8):
         b = np.asarray(b)
         if self.a_scaled is not None:
-            # mixed-precision refinement on the scaled system (f32 devices)
-            b_eff = self.scale_d * b if self.scale_d is not None else b.astype(np.float64)
-            normb = np.linalg.norm(b_eff)
-            x = np.zeros_like(b_eff)
-            total_iters, rounds = 0, 0
-            info = {}
-            prev_relres = np.inf
-            for _ in range(max_refine_rounds):
-                r = b_eff - self.a_scaled @ x
-                relres = np.linalg.norm(r) / normb
-                if relres <= self.target_tol or relres > 0.9 * prev_relres:
-                    break
-                prev_relres = relres
-                dx, info = self._solve_scaled_once(r)
-                x = x + dx
-                total_iters += info["iters"]
-                rounds += 1
-                if info.get("breakdown"):
-                    break
-            info = dict(info or {})
-            info["iters"] = total_iters
-            info["refine_rounds"] = rounds
+            b_eff = (
+                self.scale_d * b if self.scale_d is not None
+                else b.astype(np.float64)
+            )
+            x, info = refine_solve(
+                self.a_scaled, b_eff, self._solve_scaled_once,
+                self.target_tol, max_rounds=max_refine_rounds,
+            )
+            info["deflated"] = self.deflated
             if self.scale_d is not None:
                 x = self.scale_d * x
             return x, info

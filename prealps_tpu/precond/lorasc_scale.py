@@ -97,10 +97,18 @@ def plan_arrow_bands(
     nparts: int,
     br: int,
     bs_multiple: int | None = None,
+    interior_order: str = "auto",
 ) -> ArrowBandPlan:
-    """RCM-order each interior part and the separator at the NODE level and
-    derive uniform static band shapes. Keeping all br dofs of a node adjacent
-    makes every gather/scatter node-granular (br·t-wide rows)."""
+    """Order each interior part and the separator at the NODE level for a
+    small bandwidth and derive uniform static band shapes. Keeping all br
+    dofs of a node adjacent makes every gather/scatter node-granular.
+
+    interior_order: "natural" keeps each part's nodes in their given
+    (lexicographic) order — on box-grid partitions that is cross-section-
+    banded, while RCM's diagonal BFS level sets on a box are ~2× WIDER;
+    "rcm" reorders (right for irregular partitions); "auto" tries both per
+    part and keeps the narrower. The separator (a union of planes) always
+    uses RCM."""
     from prealps_tpu.core.partition import rcm_order
 
     nrb = node_graph.shape[0]
@@ -108,19 +116,30 @@ def plan_arrow_bands(
     part_arr = np.where(in_sep, -1, node_part).astype(np.int32)
     pos_arr = np.zeros(nrb, dtype=np.int32)
 
+    def _bw(sub, perm):
+        coo = sub[perm][:, perm].tocoo()
+        return int(np.abs(coo.row - coo.col).max()) if coo.nnz else 0
+
     # interiors
     part_nodes = []
     bw_i = 1
     for p in range(nparts):
         nodes = np.flatnonzero(part_arr == p)
         sub = node_graph[nodes][:, nodes]
-        perm = rcm_order(sub) if nodes.size > 2 else np.arange(nodes.size)
+        nat = np.arange(nodes.size)
+        if interior_order == "natural" or nodes.size <= 2:
+            perm, bw_p = nat, _bw(sub, nat)
+        elif interior_order == "rcm":
+            perm = rcm_order(sub)
+            bw_p = _bw(sub, perm)
+        else:  # auto
+            perm_r = rcm_order(sub)
+            bw_r, bw_n = _bw(sub, perm_r), _bw(sub, nat)
+            perm, bw_p = (nat, bw_n) if bw_n <= bw_r else (perm_r, bw_r)
         ordered = nodes[perm]
         pos_arr[ordered] = np.arange(nodes.size)
         part_nodes.append(ordered)
-        coo = sub[perm][:, perm].tocoo()
-        if coo.nnz:
-            bw_i = max(bw_i, int(np.abs(coo.row - coo.col).max()))
+        bw_i = max(bw_i, bw_p)
     bs_i = _round_up(bw_i * br + br, mult)
     max_nodes = max((pn.size for pn in part_nodes), default=1)
     nbn_i = _round_up(max(max_nodes, 1), bs_i // br)
