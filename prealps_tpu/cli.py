@@ -156,7 +156,12 @@ def lorasc_main(argv=None):
     p = _common_parser("Enlarged CG with LORASC/PRESC Schur preconditioning")
     p.add_argument("-p", "--precond", default="lorasc", choices=["lorasc", "presc"])
     p.add_argument("--nparts", type=int, default=8,
-                   help="subdomain count (reference: -npLevel1 analog)")
+                   help="subdomain count (single-device build)")
+    p.add_argument("--np-level1", type=int, default=0, dest="np_level1",
+                   help="distributed 2-level mesh: number of level-1 groups; "
+                   "the mesh is (np_level1, nshards // np_level1) — the "
+                   "reference's -npLevel1 masterLevel/localLevel split "
+                   "(test_lorasc.c:223-236). Requires --nshards > 1.")
     p.add_argument("--deflation-tol", type=float, default=1e-2)
     p.add_argument("--eig-method", default="direct", choices=["direct", "lanczos"])
     p.add_argument("--eigs-kind", default="ssloc", choices=["ssloc", "saloc"])
@@ -169,13 +174,28 @@ def lorasc_main(argv=None):
     b = _load_rhs(args, a.shape[0])
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
                       variant=args.ortho_alg, adaptive=args.adaptive)
-    kwargs = dict(nparts=args.nparts, deflation_tol=args.deflation_tol,
-                  dtype=_dtype_of(args))
-    if args.precond == "lorasc":
-        kwargs["eig_method"] = args.eig_method
+    if args.precond == "lorasc" and (args.nshards > 1 or args.np_level1):
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        if args.np_level1:
+            nsh = args.nshards if args.nshards > 1 else args.np_level1
+            if nsh % args.np_level1:
+                raise SystemExit("error: --np-level1 must divide --nshards")
+            mesh_shape = (args.np_level1, nsh // args.np_level1)
+        else:
+            mesh_shape = None
+        solver = DistributedLorascECG.build(
+            a, nshards=args.nshards, opts=opts, mesh_shape=mesh_shape,
+            deflation_tol=args.deflation_tol, dtype=_dtype_of(args),
+        )
     else:
-        kwargs["eigs_kind"] = args.eigs_kind
-    solver = ECGSolver.build(a, opts=opts, precond=args.precond, **kwargs)
+        kwargs = dict(nparts=args.nparts, deflation_tol=args.deflation_tol,
+                      dtype=_dtype_of(args))
+        if args.precond == "lorasc":
+            kwargs["eig_method"] = args.eig_method
+        else:
+            kwargs["eigs_kind"] = args.eigs_kind
+        solver = ECGSolver.build(a, opts=opts, precond=args.precond, **kwargs)
     t0 = time.time()
     x, info = solver.solve(b)
     return _report(args, a, b, x, info, time.time() - t0)

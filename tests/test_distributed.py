@@ -331,3 +331,52 @@ class TestHaloExchange:
                 "ml,mlt->mt", vals[rows], x_ext[plan.cols_local[rows]]
             )
         np.testing.assert_allclose(y, a_pad @ x, rtol=1e-12, atol=1e-12)
+
+
+class TestTwoLevelMesh:
+    """End-to-end solve on a 2-axis ("shards","local") mesh — the analog of
+    the reference's masterLevel/localLevel split (preAlps_utils.c:687,
+    multilevel Aii lorasc.c:222-256)."""
+
+    def test_lorasc_two_level_matches_scipy(self, ela_small):
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+        from prealps_tpu.solvers.ecg import ECGOptions
+
+        a = ela_small
+        rng = np.random.default_rng(11)
+        b = rng.standard_normal(a.shape[0])
+        solver = DistributedLorascECG.build(
+            a, opts=ECGOptions(t=2, tol=1e-8, maxiter=600),
+            mesh_shape=(4, 2), dtype=np.float64, max_deflation=16,
+        )
+        assert solver.ngroups == 4 and solver.nlocal == 2
+        x, info = solver.solve(b)
+        x_ref = spla.spsolve(sp.csc_matrix(a), b)
+        err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert err < 1e-5, (err, info)
+        assert not info["breakdown"]
+
+    def test_one_and_two_level_agree(self, ela_small):
+        """(8,) and (4,2) meshes are the same math — iteration counts and
+        solutions must agree closely."""
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+        from prealps_tpu.solvers.ecg import ECGOptions
+
+        a = ela_small
+        rng = np.random.default_rng(11)
+        b = rng.standard_normal(a.shape[0])
+        s1 = DistributedLorascECG.build(
+            a, nshards=4, opts=ECGOptions(t=2, tol=1e-8, maxiter=600),
+            dtype=np.float64, max_deflation=16,
+        )
+        s2 = DistributedLorascECG.build(
+            a, opts=ECGOptions(t=2, tol=1e-8, maxiter=600),
+            mesh_shape=(4, 2), dtype=np.float64, max_deflation=16,
+        )
+        x1, i1 = s1.solve(b)
+        x2, i2 = s2.solve(b)
+        assert abs(i1["iters"] - i2["iters"]) <= max(3, i1["iters"] // 10)
+        np.testing.assert_allclose(x1, x2, rtol=1e-5, atol=1e-8)
