@@ -358,3 +358,92 @@ def stencil_bsr_spmm_t_pallas(a, xt: jax.Array, chunk: int = 4096,
         interpret=interpret,
     )(offs, x_ext, blocks)
     return out[:, :, :nrb]
+
+
+def _stencil_bs_kernel(xm_ref, x0_ref, xp_ref, blocks_ref, out_ref,
+                       *, offsets, halo, chunk, br, t_dim):
+    """BlockSpec-only lane-major stencil kernel (no manual DMA — the Mosaic
+    build behind this environment's remote compiler rejects make_async_copy).
+
+    Three shifted views of the padded x cover every offset's window with
+    NON-overlapping BlockSpec tiles: output chunk i needs x rows
+    [i*C, i*C + C + 2h) ⊆ blocks {i, i+1, i+2} of the (grid+2)-padded x.
+    The whole 243-term FMA chain accumulates in VMEM — one pass over x and
+    blocks instead of XLA's materialised per-offset intermediates (the 25×
+    memory-traffic gap measured in docs/PERFORMANCE.md).
+    """
+    xw = jnp.concatenate([xm_ref[...], x0_ref[...], xp_ref[...]], axis=2)
+    acc = [jnp.zeros((t_dim, chunk), jnp.float32) for _ in range(br)]
+    for s, off in enumerate(offsets):
+        # output row j of chunk i sits at window position C + j (the x views
+        # lead by C − halo), so offset o reads [C + o, C + o + C)
+        lo = chunk + off
+        xs = jax.lax.slice_in_dim(xw, lo, lo + chunk, axis=2)  # (t, br, C)
+        for m in range(br):
+            a = acc[m]
+            for k in range(br):
+                a = a + blocks_ref[s, m, k, :][None, :] * xs[:, k, :]
+            acc[m] = a
+    for m in range(br):
+        out_ref[:, m, :] = acc[m].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def stencil_bsr_spmm_t_pallas_bs(a, xt: jax.Array, chunk: int = 2048,
+                                 interpret: bool = False) -> jax.Array:
+    """Lane-major stencil SpMM via a pure-BlockSpec Pallas pipeline.
+
+    xt: (t, br, nrb) -> (t, br, nrb). Requires chunk ≥ halo. HBM traffic =
+    blocks + 3×x + y (the 3× from the shifted views) — within ~2× of the
+    roofline, vs ~30× for the unfused XLA chain.
+    """
+    s_max, br, _, nrb = a.blocks_t.shape
+    t_dim = xt.shape[0]
+    halo = max(max(abs(o) for o in a.offsets), 0)
+    if chunk < halo:
+        chunk = -(-halo // 128) * 128
+    grid = -(-nrb // chunk)
+    nrb_pad = grid * chunk
+
+    # x with wrap halos, laid out so view block i+1 starts at x_ext row i*C:
+    # x_pad[C - h + (r + h)] = x_ext[r + h] ⇒ place x_ext at offset C - halo
+    x_ext = jnp.concatenate(
+        [xt[:, :, nrb - halo:], xt, xt[:, :, :halo]], axis=2
+    )  # (t, br, nrb + 2h)
+    lead = chunk - halo
+    tail = (grid + 2) * chunk - (lead + nrb + 2 * halo)
+    x_pad = jnp.concatenate(
+        [jnp.zeros((t_dim, br, lead), xt.dtype), x_ext,
+         jnp.zeros((t_dim, br, tail), xt.dtype)], axis=2,
+    )
+    blocks = a.blocks_t
+    if nrb_pad != nrb:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((s_max, br, br, nrb_pad - nrb), blocks.dtype)],
+            axis=3,
+        )
+
+    kernel = functools.partial(
+        _stencil_bs_kernel, offsets=a.offsets, halo=halo, chunk=chunk,
+        br=br, t_dim=t_dim,
+    )
+    xspec = lambda k: pl.BlockSpec(
+        (t_dim, br, chunk), lambda i, _k=k: (0, 0, i + _k)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            xspec(0), xspec(1), xspec(2),
+            pl.BlockSpec((s_max, br, br, chunk), lambda i: (0, 0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((t_dim, br, chunk), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((t_dim, br, nrb_pad), xt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_max * br * br * nrb * t_dim,
+            bytes_accessed=blocks.size * 4 + 4 * xt.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_pad, x_pad, x_pad, blocks)
+    return out[:, :, :nrb]

@@ -132,3 +132,43 @@ class TestStencil:
         )
         np.testing.assert_allclose(np.asarray(y), (a @ x).astype(np.float32),
                                    rtol=2e-5, atol=1e-5)
+
+
+class TestPallasBlockSpecStencil:
+    """BlockSpec-only Pallas stencil kernel (no manual DMA) vs references."""
+
+    @pytest.mark.parametrize("chunk", [128, 512])
+    def test_matches_dense(self, ela_small, rng, chunk):
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import (
+            panel_from_lane_major,
+            panel_to_lane_major,
+            stencil_bsr_spmm_t_pallas_bs,
+        )
+
+        a = ela_small
+        st = csr_to_stencil_bsr_t(a, br=3, dtype=np.float64)
+        x = rng.standard_normal((a.shape[0], 4))
+        xt = panel_to_lane_major(jnp.asarray(x), 3)
+        y = panel_from_lane_major(
+            stencil_bsr_spmm_t_pallas_bs(st, xt, chunk=chunk, interpret=True)
+        )
+        np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12, atol=1e-12)
+
+    def test_chunk_below_halo_is_raised(self, poisson_small, rng):
+        """chunk < halo is auto-raised to a valid value."""
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import (
+            panel_from_lane_major,
+            panel_to_lane_major,
+            stencil_bsr_spmm_t_pallas_bs,
+        )
+
+        a = poisson_small
+        st = csr_to_stencil_bsr_t(a, br=1, dtype=np.float64)
+        x = rng.standard_normal((a.shape[0], 2))
+        xt = panel_to_lane_major(jnp.asarray(x), 1)
+        y = panel_from_lane_major(
+            stencil_bsr_spmm_t_pallas_bs(st, xt, chunk=8, interpret=True)
+        )
+        np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12, atol=1e-12)
