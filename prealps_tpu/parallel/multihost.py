@@ -1,0 +1,92 @@
+"""Multi-host (DCN) initialization and mesh construction.
+
+The reference scales across nodes with plain `mpirun` — every rank is a
+process and MPI wires them up (reference: README.md:53 `mpirun -np 8 ...`,
+make.inc:25 mpicc). The JAX equivalent is `jax.distributed.initialize`: one
+process per host, all chips of all hosts visible as one global device list,
+collectives riding ICI within a host/slice and DCN across.
+
+Mapping to the reference's two-level communicator split
+(preAlps_utils.c:687 comm2LevelsSplit):
+
+    masterLevel  <-> the cross-host ("host") mesh axis (DCN)
+    localLevel   <-> the within-host ("chip") mesh axis (ICI)
+
+Usage on each host (driver scripts / cluster launchers):
+
+    from prealps_tpu.parallel.multihost import initialize, global_mesh_2level
+    initialize(coordinator="10.0.0.1:1234", num_processes=4, process_id=i)
+    mesh = global_mesh_2level()          # (hosts, chips_per_host)
+    solver = DistributedLorascECG.build(a, mesh_shape=mesh.devices.shape, ...)
+
+Single-process runs (tests, one chip, CPU meshes) skip initialize() —
+everything below degrades to the local device list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def initialize(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Wire this process into the JAX distributed runtime (idempotent).
+
+    With no arguments, relies on the cluster environment (TPU pod metadata /
+    JAX_COORDINATOR_ADDRESS etc.), which is the common TPU-pod path.
+    """
+    import jax
+
+    if getattr(jax.distributed, "is_initialized", None) and jax.distributed.is_initialized():
+        return
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def global_mesh(axis: str = "shards"):
+    """1-D mesh over every chip of every connected host."""
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def global_mesh_2level(axes: tuple = ("host", "chip")):
+    """2-D (hosts × chips/host) mesh: outer axis DCN, inner axis ICI.
+
+    Collectives with axis_name=axes[1] stay on-host (ICI); axis_name=axes[0]
+    crosses hosts (DCN) — scope separator psums and other small reductions to
+    the outer axis, bulk halo exchange to the inner one.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    procs = max(
+        (getattr(d, "process_index", 0) for d in devices), default=0
+    ) + 1
+    per = len(devices) // procs
+    by_proc = sorted(devices, key=lambda d: (getattr(d, "process_index", 0), d.id))
+    arr = np.array(by_proc).reshape(procs, per)
+    return Mesh(arr, axes)
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def is_coordinator() -> bool:
+    import jax
+
+    return jax.process_index() == 0

@@ -380,3 +380,25 @@ class TestTwoLevelMesh:
         x2, i2 = s2.solve(b)
         assert abs(i1["iters"] - i2["iters"]) <= max(3, i1["iters"] // 10)
         np.testing.assert_allclose(x1, x2, rtol=1e-5, atol=1e-8)
+
+
+class TestMultihostGlue:
+    """Single-process sanity of the multi-host (DCN) helpers — the code path
+    the reference covers with mpirun (README.md:53); real multi-host needs a
+    pod, but mesh construction and process introspection must work locally."""
+
+    def test_global_meshes(self):
+        from prealps_tpu.parallel.multihost import (
+            global_mesh,
+            global_mesh_2level,
+            is_coordinator,
+            process_count,
+        )
+
+        m1 = global_mesh()
+        assert m1.devices.size >= 8
+        m2 = global_mesh_2level()
+        assert m2.axis_names == ("host", "chip")
+        assert m2.devices.size == m1.devices.size
+        assert process_count() == 1
+        assert is_coordinator()
