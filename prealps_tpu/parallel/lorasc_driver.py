@@ -119,6 +119,7 @@ class DistributedLorascECG:
         inner_tol: float = 1e-3,
         mesh_shape: Optional[tuple] = None,
         shift: float = 0.0,
+        eig_resid_tol: float = 0.03,
     ) -> "DistributedLorascECG":
         # f32 solves need true-f32 MXU passes (bf16 breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -394,7 +395,10 @@ class DistributedLorascECG:
 
         # --- deflation eigensolve: device Lanczos inside shard_map ---
         nev = min(max_deflation, max(ng_tot - 1, 1))
-        ncv_eff = min(ncv or (2 * nev + 1), max(ng_tot - 1, 2))
+        # PARPACK uses ncv=2·nev+1 WITH implicit restarts (eigsolver.c:110,
+        # maxit=200); this single-pass Lanczos needs a larger basis to converge
+        # the same pairs — unconverged ones are filtered (eig_resid_tol) anyway
+        ncv_eff = min(ncv or (3 * nev + 1), max(ng_tot - 1, 2))
         sep_mask_np = (sep_pad_of >= 0).astype(dtype)
 
         def _lanczos_local(ops_d, sep_mask, v0):
@@ -430,21 +434,27 @@ class DistributedLorascECG:
             theta = lancz.eigvalues[:nev]
             vecs = lancz.eigvectors[:, :nev]
             bnorm2 = jax.vmap(lambda c: jnp.vdot(c, b_apply(c)), in_axes=1)(vecs)
-            return theta, vecs, bnorm2
+            return theta, vecs, bnorm2, lancz.resid[:nev]
 
         lancz_fn = jax.jit(
             _shard_map(
                 _lanczos_local, mesh=mesh,
                 in_specs=(specs, P(), P()),
-                out_specs=(P(), P(), P()),
+                out_specs=(P(), P(), P(), P()),
                 check_vma=False,
             )
         )
         v0 = jnp.asarray(sep_mask_np * 1e-2, dtype=dtype)
-        theta, vecs, bnorm2 = lancz_fn(
+        theta, vecs, bnorm2, resid = lancz_fn(
             operands, jnp.asarray(sep_mask_np), v0
         )
-        ok = (theta <= deflation_tol) & (bnorm2 > 0.5)
+        # filter unconverged Ritz pairs — they poison the correction (see
+        # precond/lorasc_scale.py selection note)
+        ok = (
+            (theta <= deflation_tol)
+            & (bnorm2 > 0.5)
+            & (resid <= eig_resid_tol * deflation_tol)
+        )
         lam_eff = jnp.maximum(theta, deflation_tol * 1e-4)
         sigma = jnp.where(ok, (deflation_tol - lam_eff) / lam_eff, 0.0).astype(dtype)
         e_mat = (vecs * jnp.asarray(sep_mask_np)[:, None]).astype(dtype)
