@@ -372,3 +372,78 @@ def block_banded_solve_two_level(
 
     _, w = jax.lax.scan(bwd, zero, (l_inv_t, w_bwd, y), reverse=True)
     return jnp.swapaxes(w, 0, 1)
+
+
+def block_banded_schur(
+    d: jax.Array, e: jax.Array, n_schur: int, shift: float = 0.0
+):
+    """Exact Schur complement of a batched block-banded SPD matrix onto its
+    TRAILING n_schur rows (n_schur ≤ bs — the Schur rows live in the last
+    block; callers order them last, the reference's
+    permuteSchurComplementToBottom contract, preAlps_utils.c:1048).
+
+    This is the TPU-native partial factorization with Schur output —
+    the role MKL-PARDISO's iparm[35]=2 and MUMPS' listvar_schur play for
+    PRESC (reference: mkl_pardiso_solver.c:131-141, mumps_solver.c:83-90,
+    presc.c:239-241). Eliminating the leading blocks of a block-tridiagonal
+    matrix only corrects the first trailing diagonal block, so the recursion
+    is the standard factor scan stopped one block early + one dense Schur on
+    the last block.
+
+    Returns (schur, failed): schur (P, n_schur, n_schur) dense, symmetric.
+    """
+    P, nblk, bs, _ = d.shape
+    if not (0 < n_schur <= bs):
+        raise ValueError(f"n_schur must be in (0, {bs}], got {n_schur}")
+    dtype = d.dtype
+    diag = jnp.einsum("pnii->pni", d)
+    d = d + jnp.asarray(shift, dtype) * jax.vmap(jax.vmap(jnp.diag))(diag)
+    eye = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), (P, bs, bs))
+
+    def step(carry, de):
+        l_inv_prev, _ = carry
+        d_i, e_i = de
+        m_i = jnp.einsum("pij,pkj->pik", e_i, l_inv_prev, precision=HIGHEST)
+        s_i = d_i - jnp.einsum("pik,pjk->pij", m_i, m_i, precision=HIGHEST)
+        l_i = jax.lax.linalg.cholesky(s_i, symmetrize_input=True)
+        bad = jnp.any(jnp.isnan(l_i))
+        l_i = jnp.where(jnp.isnan(l_i), jnp.zeros_like(l_i), l_i)
+        l_inv = jax.lax.linalg.triangular_solve(
+            l_i, eye, left_side=True, lower=True
+        )
+        return (l_inv, bad), None
+
+    d_t = jnp.swapaxes(d, 0, 1)
+    e_t = jnp.swapaxes(e, 0, 1)
+    if nblk > 1:
+        (l_inv_prev, bad), _ = jax.lax.scan(
+            step, (jnp.zeros_like(eye), jnp.bool_(False)),
+            (d_t[:-1], e_t[:-1]),
+        )
+        m_last = jnp.einsum(
+            "pij,pkj->pik", e_t[-1], l_inv_prev, precision=HIGHEST
+        )
+        d_last = d_t[-1] - jnp.einsum(
+            "pik,pjk->pij", m_last, m_last, precision=HIGHEST
+        )
+    else:
+        d_last = d_t[-1]
+        bad = jnp.bool_(False)
+
+    # dense Schur of the corrected last block onto its trailing n_schur rows
+    k = bs - n_schur
+    if k == 0:
+        schur = d_last
+    else:
+        a11 = d_last[:, :k, :k]
+        a21 = d_last[:, k:, :k]
+        a22 = d_last[:, k:, k:]
+        l11 = jax.lax.linalg.cholesky(a11, symmetrize_input=True)
+        bad = bad | jnp.any(jnp.isnan(l11))
+        l11 = jnp.where(jnp.isnan(l11), jnp.zeros_like(l11), l11)
+        w = jax.lax.linalg.triangular_solve(
+            l11, jnp.swapaxes(a21, -1, -2), left_side=True, lower=True
+        )  # (P, k, n_schur) = L11⁻¹ A12
+        schur = a22 - jnp.einsum("pki,pkj->pij", w, w, precision=HIGHEST)
+    schur = 0.5 * (schur + jnp.swapaxes(schur, -1, -2))
+    return schur, bad

@@ -128,3 +128,68 @@ class TestSolve:
         v = rng.standard_normal((n, 1))
         w = block_banded_solve(fac, jnp.asarray(to_band(plan, [v])))
         assert np.all(np.isfinite(np.asarray(w)))
+
+
+class TestPartialSchur:
+    """Exact Schur onto trailing rows (the PARDISO iparm[35]/MUMPS
+    listvar_schur role; reference: presc.c:239-241)."""
+
+    @pytest.mark.parametrize("n_schur", [3, 8])
+    def test_matches_scipy(self, rng, n_schur):
+        from prealps_tpu.direct.banded import block_banded_schur
+
+        sizes = [48, 57]
+        blocks = [_spd_banded(m, 5, rng) for m in sizes]
+        plan = plan_block_banded(blocks, bs=16, order="natural")
+        d, e = assemble_host(plan, blocks)
+        schur, bad = block_banded_schur(jnp.asarray(d), jnp.asarray(e), n_schur)
+        assert not bool(bad)
+        for i, b in enumerate(blocks):
+            m = b.shape[0]
+            pad = plan.rows_padded
+            a_full = np.eye(pad)
+            a_full[:m, :m] = b.toarray()
+            k = pad - n_schur
+            a11, a12 = a_full[:k, :k], a_full[:k, k:]
+            s_ref = a_full[k:, k:] - a12.T @ np.linalg.solve(a11, a12)
+            np.testing.assert_allclose(
+                np.asarray(schur[i]), s_ref, rtol=1e-9, atol=1e-10
+            )
+
+    def test_elasticity_subdomain_schur(self, ela_small, rng):
+        """Schur of a real subdomain onto its boundary rows, boundary last."""
+        from prealps_tpu.core.partition import block_arrow_structure, permute, rcm_order
+        from prealps_tpu.direct.banded import block_banded_schur
+
+        a = ela_small
+        arrow = block_arrow_structure(a, 4)
+        ap = permute(a, arrow.perm)
+        ni = arrow.sep_start
+        # local block of part 0: interior rows + ALL separator rows appended
+        i0, i1 = int(arrow.interior_offsets[0]), int(arrow.interior_offsets[1])
+        sep = np.arange(ni, ap.shape[0])
+        loc_rows = np.concatenate([np.arange(i0, i1), sep])
+        local = ap[loc_rows][:, loc_rows].tocsr()
+        m_int = i1 - i0
+        n_s = sep.size
+        # order: RCM the interior, keep boundary rows last
+        p_int = rcm_order(local[:m_int, :m_int])
+        order = np.concatenate([p_int, m_int + np.arange(n_s)])
+        local_o = local[order][:, order].tocsr()
+        plan = plan_block_banded([local_o], order="natural")
+        if plan.bs < n_s:  # ensure Schur rows fit the last block
+            plan = plan_block_banded([local_o], bs=max(plan.bs, n_s), order="natural")
+        d, e = assemble_host(plan, [local_o])
+        # pad so trailing rows ARE the separator rows: identity pads sit
+        # after them, so ask for pads + separator and slice
+        pad = plan.rows_padded - local_o.shape[0]
+        schur, bad = block_banded_schur(
+            jnp.asarray(d), jnp.asarray(e), n_schur=n_s + pad
+        )
+        assert not bool(bad)
+        s_dev = np.asarray(schur[0])[:n_s, :n_s]
+        a11 = local_o[:m_int, :m_int].toarray()
+        a12 = local_o[:m_int, m_int:].toarray()
+        a22 = local_o[m_int:, m_int:].toarray()
+        s_ref = a22 - a12.T @ np.linalg.solve(a11, a12)
+        np.testing.assert_allclose(s_dev, s_ref, rtol=1e-8, atol=1e-9)
