@@ -154,16 +154,65 @@ class TestSpMSV:
 
         a = poisson_small
         offsets = nsplit(a.shape[0], 16)
+        g = block_support_graph(a, offsets)
         ae = csr_to_ell(a)
         b = rng.standard_normal((a.shape[0], 3))
-        mask = np.zeros(16)
-        mask[5] = 1
-        c = spmsv(lambda x: ell_spmm(ae, x), jnp.asarray(b), jnp.asarray(mask), offsets)
+        mask = np.zeros(16, dtype=bool)
+        mask[5] = True
+        c, c_struct, is_dense = spmsv(
+            lambda x: ell_spmm(ae, x), jnp.asarray(b), mask, g, offsets
+        )
         b_masked = b.copy()
         for i in range(16):
             if not mask[i]:
                 b_masked[offsets[i]: offsets[i + 1]] = 0
         np.testing.assert_allclose(np.asarray(c), a @ b_masked, rtol=1e-10, atol=1e-12)
+        # predicted support is exact for this generic B: nonzero block rows
+        # of C are precisely struct(A)·struct(B)
+        c_np = np.asarray(c)
+        actual = np.array([
+            np.abs(c_np[offsets[i]: offsets[i + 1]]).max() > 0 for i in range(16)
+        ])
+        np.testing.assert_array_equal(actual, c_struct)
+        assert not is_dense
+
+    def test_2d_struct_and_dense_switch(self, poisson_small, rng):
+        from prealps_tpu.core.partition import nsplit
+        from prealps_tpu.ops.formats import csr_to_ell
+        from prealps_tpu.ops.spmm import ell_spmm
+        from prealps_tpu.ops.spmsv import spmsv_chain
+
+        a = poisson_small
+        n = a.shape[0]
+        offsets = nsplit(n, 16)
+        col_off = nsplit(4, 2)
+        g = block_support_graph(a, offsets)
+        ae = csr_to_ell(a)
+        b = rng.standard_normal((n, 4))
+        struct = np.zeros((16, 2), dtype=bool)
+        struct[2, 0] = True   # col block 0 supported on block row 2 only
+        struct[9, 1] = True
+        c, c_struct, _ = spmsv(
+            lambda x: ell_spmm(ae, x), jnp.asarray(b), struct, g, offsets,
+            col_offsets=col_off,
+        )
+        # reference check: per column block, mask rows then multiply
+        b_m = b.copy()
+        b_m[: offsets[2], :2] = 0
+        b_m[offsets[3]:, :2] = 0
+        b_m[: offsets[9], 2:] = 0
+        b_m[offsets[10]:, 2:] = 0
+        np.testing.assert_allclose(np.asarray(c), a @ b_m, rtol=1e-10, atol=1e-12)
+        assert c_struct.shape == (16, 2)
+        assert c_struct[2, 0] and c_struct[9, 1]
+
+        # an s-step chain fills in and flips the dense switch eventually
+        panels, structs = spmsv_chain(
+            lambda x: ell_spmm(ae, x), jnp.asarray(b), struct, g, offsets,
+            steps=8, col_offsets=col_off, dense_switch=0.5,
+        )
+        assert len(panels) == 9
+        assert np.mean(structs[-1]) > np.mean(structs[0])
 
 
 class TestCholQR:
