@@ -382,6 +382,7 @@ def build_scalable_lorasc(
     shift: float = 0.0,
     a_stencil=None,
     eig_resid_tol: float = 0.03,
+    restarts: int = 5,
 ) -> ScalableLorasc:
     """Build the scalable LORASC for a stencil-structured operator `a`
     (already scaled/permuted as the solver will use it; ORIGINAL ordering).
@@ -469,9 +470,11 @@ def build_scalable_lorasc(
     ng_pad = plan.ng_pad
     nev = min(max_deflation, max(plan.ng - 1, 1))
     # PARPACK uses ncv=2·nev+1 WITH implicit restarts (eigsolver.c:110,
-    # maxit=200); this single-pass Lanczos needs a larger basis to converge
-    # the same pairs — unconverged ones are filtered (eig_resid_tol) anyway
-    ncv_eff = min(ncv or (3 * nev + 1), max(plan.ng - 1, 2))
+    # maxit=200); the thick-restart Lanczos mirrors that (restarts>0).
+    # A single pass (restarts=0) needs a larger basis to converge the same
+    # pairs — unconverged ones are filtered (eig_resid_tol) either way.
+    ncv_default = (2 * nev + 1) if restarts > 0 else (3 * nev + 1)
+    ncv_eff = min(ncv or ncv_default, max(plan.ng - 1, 2))
 
     @jax.jit
     def _lanczos_run(ops, dg, eg, v0):
@@ -498,9 +501,18 @@ def build_scalable_lorasc(
         def op_apply(v):
             return _agg_solve(plan, ops, s_apply(v)[:, None])[:, 0]
 
-        lancz = lanczos_gen(
-            op_apply, b_apply, ng_pad, ncv_eff, dtype=jnp.dtype(dtype), v0=v0
-        )
+        if restarts > 0:
+            from prealps_tpu.ops.lanczos import lanczos_thick_restart
+
+            lancz = lanczos_thick_restart(
+                op_apply, b_apply, ng_pad, ncv_eff, nev=nev,
+                restarts=restarts, dtype=jnp.dtype(dtype), v0=v0,
+            )
+        else:
+            lancz = lanczos_gen(
+                op_apply, b_apply, ng_pad, ncv_eff, dtype=jnp.dtype(dtype),
+                v0=v0,
+            )
         theta = lancz.eigvalues[:nev]
         vecs = lancz.eigvectors[:, :nev]
         bnorm2 = jax.vmap(lambda c: jnp.vdot(c, b_apply(c)), in_axes=1)(vecs)
