@@ -97,12 +97,23 @@ def _main():
     layout = "tbn" if fmt == "stencil" else "nt"
     opts = ECGOptions(t=t, tol=tol, maxiter=maxiter, variant="odir_fused",
                       layout=layout)
-    kwargs = dict(block_size=block_size) if precond in ("bj", "block_jacobi") else dict(
-        cheb_degree=cheb_degree)
-    solver = DistributedECG.build(
-        a, nshards=1, opts=opts, precond=precond,
-        dtype=dtype, fmt=fmt, br=3, inner_tol=inner_tol, **kwargs,
-    )
+    if precond == "lorasc":
+        # scalable LORASC (banded interiors + thick-restart Lanczos deflation)
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+
+        solver = StencilLorascECG.build(
+            a, nparts=int(os.environ.get("PREALPS_BENCH_NPARTS", "8")),
+            br=3, grid=(nel + 1, nel + 1, nel), opts=opts, dtype=dtype,
+            max_deflation=int(os.environ.get("PREALPS_BENCH_DEFL", "128")),
+            inner_tol=inner_tol,
+        )
+    else:
+        kwargs = dict(block_size=block_size) if precond in ("bj", "block_jacobi") else dict(
+            cheb_degree=cheb_degree)
+        solver = DistributedECG.build(
+            a, nshards=1, opts=opts, precond=precond,
+            dtype=dtype, fmt=fmt, br=3, inner_tol=inner_tol, **kwargs,
+        )
     build_t = time.time() - t0
     _log(f"solver built ({build_t:.0f}s); compiling + warm solve...")
 

@@ -120,6 +120,7 @@ class DistributedLorascECG:
         mesh_shape: Optional[tuple] = None,
         shift: float = 0.0,
         eig_resid_tol: float = 0.03,
+        restarts: int = 5,
     ) -> "DistributedLorascECG":
         # f32 solves need true-f32 MXU passes (bf16 breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -396,13 +397,18 @@ class DistributedLorascECG:
         # --- deflation eigensolve: device Lanczos inside shard_map ---
         nev = min(max_deflation, max(ng_tot - 1, 1))
         # PARPACK uses ncv=2·nev+1 WITH implicit restarts (eigsolver.c:110,
-        # maxit=200); this single-pass Lanczos needs a larger basis to converge
-        # the same pairs — unconverged ones are filtered (eig_resid_tol) anyway
-        ncv_eff = min(ncv or (3 * nev + 1), max(ng_tot - 1, 2))
+        # maxit=200); the thick-restart Lanczos mirrors that (restarts>0);
+        # a single pass (restarts=0) needs the larger 3·nev+1 basis —
+        # unconverged pairs are filtered (eig_resid_tol) either way
+        ncv_default = (2 * nev + 1) if restarts > 0 else (3 * nev + 1)
+        ncv_eff = min(ncv or ncv_default, max(ng_tot - 1, 2))
         sep_mask_np = (sep_pad_of >= 0).astype(dtype)
 
         def _lanczos_local(ops_d, sep_mask, v0):
-            from prealps_tpu.ops.lanczos import lanczos_gen
+            from prealps_tpu.ops.lanczos import (
+                lanczos_gen,
+                lanczos_thick_restart,
+            )
 
             def s_apply(v):
                 # S v = Agg v − Agi Aii⁻¹ Aig v (matrixVectorOp.c AggInvxS)
@@ -427,10 +433,16 @@ class DistributedLorascECG:
                     "gh,h->g", ops_d["agg_inv"], s_apply(v), precision=HIGHEST
                 )
 
-            lancz = lanczos_gen(
-                op_apply, b_apply, ng_pad, ncv_eff,
-                dtype=jnp.dtype(dtype), v0=v0,
-            )
+            if restarts > 0:
+                lancz = lanczos_thick_restart(
+                    op_apply, b_apply, ng_pad, ncv_eff, nev=nev,
+                    restarts=restarts, dtype=jnp.dtype(dtype), v0=v0,
+                )
+            else:
+                lancz = lanczos_gen(
+                    op_apply, b_apply, ng_pad, ncv_eff,
+                    dtype=jnp.dtype(dtype), v0=v0,
+                )
             theta = lancz.eigvalues[:nev]
             vecs = lancz.eigvectors[:, :nev]
             bnorm2 = jax.vmap(lambda c: jnp.vdot(c, b_apply(c)), in_axes=1)(vecs)
