@@ -10,6 +10,7 @@ iterative refinement on TPU.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -20,7 +21,7 @@ import scipy.sparse as sp
 
 from prealps_tpu.core.scaling import sym_rac_scaling
 from prealps_tpu.precond.lorasc_scale import ScalableLorasc, build_scalable_lorasc
-from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve
+from prealps_tpu.solvers.ecg import ECGOptions
 from prealps_tpu.solvers.refine import refine_solve
 
 
@@ -93,6 +94,7 @@ class StencilLorascECG:
 
         from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
         from prealps_tpu.precond.lorasc_scale import lorasc_apply
+        from prealps_tpu.solvers.ecg import ecg_init, ecg_run
 
         r_idx = jnp.arange(nrb)[None, :]
         k_idx = jnp.arange(br)[:, None]
@@ -101,13 +103,34 @@ class StencilLorascECG:
         plan = precond.plan
 
         # operands go in as jit ARGUMENTS — closing over them would embed
-        # the multi-GB factor arrays as constants in the lowered module
-        def run(b, m_ops):
-            a_apply = lambda x: stencil_bsr_spmm_t(m_ops["a_stencil"], x)
-            m_apply = lambda r: lorasc_apply(plan, m_ops, r)
-            return ecg_solve(a_apply, m_apply, b, opts, split_assign=assign)
+        # the multi-GB factor arrays as constants in the lowered module.
+        # The solve runs in CHUNKS of bounded device dispatches with a
+        # scalars-only host sync between them: long single while_loop
+        # dispatches are where the remote-attach TPU worker flakes, and
+        # chunking also gives live iteration progress.
+        chunk = int(os.environ.get("PREALPS_LORASC_CHUNK", "400"))
 
-        fn = jax.jit(run)
+        def _aap(m_ops):
+            return lambda x: stencil_bsr_spmm_t(m_ops["a_stencil"], x)
+
+        def _map(m_ops):
+            return lambda r: lorasc_apply(plan, m_ops, r)
+
+        def init(b, m_ops):
+            return ecg_init(_aap(m_ops), _map(m_ops), b, opts,
+                            split_assign=assign)
+
+        def step(s, nb, m_ops):
+            s = ecg_run(_aap(m_ops), _map(m_ops), s, nb, opts,
+                        max_steps=chunk)
+            return s, jnp.stack([
+                s.it.astype(jnp.float32), s.res.astype(jnp.float32),
+                s.breakdown.astype(jnp.float32),
+                jnp.sum(s.mask).astype(jnp.float32),
+                s.stall.astype(jnp.float32),
+            ])
+
+        fn = (jax.jit(init), jax.jit(step))
         obj = cls(
             n=n, br=br, nrb=nrb, opts=opts, scale_d=scale_d, precond=precond,
             _fn=fn, target_tol=target_tol, a_scaled=a if refine else None,
@@ -116,11 +139,27 @@ class StencilLorascECG:
         return obj
 
     def _solve_scaled_once(self, b_eff: np.ndarray):
+        from prealps_tpu.solvers.ecg import ecg_finalize
+
+        init, step = self._fn
+        opts = self.opts
         dtype = np.asarray(self.precond.operands["sep_mask"]).dtype
         b_lane = np.ascontiguousarray(
             b_eff.astype(dtype).reshape(self.nrb, self.br).T
         )
-        res = self._fn(jnp.asarray(b_lane), self._m_ops)
+        state, normb = init(jnp.asarray(b_lane), self._m_ops)
+        tol_abs = opts.tol * float(normb)
+        prev_it = -1
+        while True:
+            state, flags = step(state, normb, self._m_ops)
+            it, res_now, brk, bs, stall = np.asarray(flags)
+            it = int(it)
+            if (res_now <= tol_abs or it >= opts.maxiter or brk or bs <= 0
+                    or (opts.stall_window > 0 and stall >= opts.stall_window)
+                    or it == prev_it):
+                break
+            prev_it = it
+        res = ecg_finalize(state, normb, opts.layout)
         x = np.ascontiguousarray(np.asarray(res.x).T).reshape(-1)
         info = {
             "iters": int(res.iters), "res": float(res.res),
