@@ -211,8 +211,16 @@ def block_banded_cholesky(
     )
 
 
-def block_banded_solve(fac: BlockBandedCholesky, v: jax.Array) -> jax.Array:
-    """Solve A w = v for the factored block-banded A. v: (P, nblk, bs, t)."""
+def block_banded_solve(
+    fac: BlockBandedCholesky, v: jax.Array, unroll: int | bool = True
+) -> jax.Array:
+    """Solve A w = v for the factored block-banded A. v: (P, nblk, bs, t).
+
+    unroll: passed to lax.scan. The recurrence is bandwidth-bound (each step
+    streams two (P, bs, bs) factor blocks for a skinny GEMM), so unrolling
+    lets XLA software-pipeline the next step's factor loads behind the
+    current step's FMAs instead of paying a serial dispatch per block.
+    """
     l_inv = jnp.swapaxes(fac.l_inv, 0, 1)  # (nblk, P, bs, bs)
     m_off = jnp.swapaxes(fac.m_off, 0, 1)
     v_t = jnp.swapaxes(v, 0, 1)            # (nblk, P, bs, t)
@@ -225,7 +233,7 @@ def block_banded_solve(fac: BlockBandedCholesky, v: jax.Array) -> jax.Array:
         y_i = jnp.einsum("pij,pjt->pit", l_inv_i, rhs, precision=HIGHEST)
         return y_i, y_i
 
-    _, y = jax.lax.scan(fwd, zero, (l_inv, m_off, v_t))
+    _, y = jax.lax.scan(fwd, zero, (l_inv, m_off, v_t), unroll=unroll)
 
     # backward: w_i = L_i⁻ᵀ (y_i − M_{i+1}ᵀ w_{i+1}); scan from the last block
     m_next = jnp.concatenate([m_off[1:], jnp.zeros_like(m_off[:1])], axis=0)
@@ -236,7 +244,8 @@ def block_banded_solve(fac: BlockBandedCholesky, v: jax.Array) -> jax.Array:
         w_i = jnp.einsum("pji,pjt->pit", l_inv_i, rhs, precision=HIGHEST)
         return w_i, w_i
 
-    _, w = jax.lax.scan(bwd, zero, (l_inv, m_next, y), reverse=True)
+    _, w = jax.lax.scan(bwd, zero, (l_inv, m_next, y), reverse=True,
+                        unroll=unroll)
     return jnp.swapaxes(w, 0, 1)
 
 
