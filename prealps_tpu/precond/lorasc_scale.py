@@ -478,25 +478,32 @@ def build_scalable_lorasc(
 
     @jax.jit
     def _lanczos_run(ops, dg, eg, v0):
-        def s_apply(v):
-            # S v = Agg v − Agi Aii⁻¹ Aig v via two embedded stencil SpMMs
-            vhat = _from_node_major(_embed_sep(plan, ops, v[:, None]))
+        def s_apply_panel(v):
+            # S V = Agg V − Agi Aii⁻¹ Aig V via two embedded stencil SpMMs;
+            # v: (ng_pad, k) panel
+            vhat = _from_node_major(_embed_sep(plan, ops, v))
             y1 = stencil_bsr_spmm_t(ops["a_stencil"], vhat)
             y1n = _to_node_major(y1)
-            agg_v = _gather_sep(plan, ops, y1n)[:, 0]
+            agg_v = _gather_sep(plan, ops, y1n)
             aig_v = _gather_int(plan, ops, y1n)
             zi = _aii_solve(plan, ops, aig_v)
             y2 = stencil_bsr_spmm_t(
                 ops["a_stencil"], _from_node_major(_embed_int(plan, ops, zi))
             )
-            agi_zi = _gather_sep(plan, ops, _to_node_major(y2))[:, 0]
-            sv = (agg_v - agi_zi) * ops["sep_mask"]
+            agi_zi = _gather_sep(plan, ops, _to_node_major(y2))
+            sv = (agg_v - agi_zi) * ops["sep_mask"][:, None]
             # identity on padding keeps pad Ritz values at 1 (never deflated)
-            return sv + v * (1.0 - ops["sep_mask"])
+            return sv + v * (1.0 - ops["sep_mask"])[:, None]
+
+        def s_apply(v):
+            return s_apply_panel(v[:, None])[:, 0]
+
+        def b_apply_panel(v):
+            y = block_banded_matvec(dg, eg, _sep_band(plan, v))
+            return _sep_flat(plan, y)
 
         def b_apply(v):
-            y = block_banded_matvec(dg, eg, _sep_band(plan, v[:, None]))
-            return _sep_flat(plan, y)[:, 0]
+            return b_apply_panel(v[:, None])[:, 0]
 
         def op_apply(v):
             return _agg_solve(plan, ops, s_apply(v)[:, None])[:, 0]
@@ -515,8 +522,17 @@ def build_scalable_lorasc(
             )
         theta = lancz.eigvalues[:nev]
         vecs = lancz.eigvectors[:, :nev]
-        bnorm2 = jax.vmap(lambda c: jnp.vdot(c, b_apply(c)), in_axes=1)(vecs)
-        return theta, vecs, bnorm2, lancz.resid[:nev]
+        # TRUE residuals ‖S u − θ B u‖ per candidate pair (one batched S·V
+        # panel), not the Krylov-coupling estimate: after thick restarts the
+        # estimate can under-report for locked directions, and an accepted
+        # bad pair carries a huge σ on a wrong direction (measured: accepting
+        # estimate-filtered pairs cost 2551 vs 606 iterations at n=148k het)
+        bv = b_apply_panel(vecs)
+        bnorm2 = jnp.einsum("gk,gk->k", vecs, bv, precision=HIGHEST)
+        r_true = s_apply_panel(vecs) - theta[None, :] * bv
+        resid = jnp.sqrt(jnp.einsum("gk,gk->k", r_true, r_true,
+                                    precision=HIGHEST))
+        return theta, vecs, bnorm2, resid
 
     v0 = jnp.asarray(sep_mask * 1e-2, dtype=dtype)
     theta, vecs, bnorm2, resid = _lanczos_run(dev, d_g, e_g, v0)
