@@ -29,19 +29,24 @@ def main():
         block_banded_solve,
     )
 
-    rng = np.random.default_rng(0)
-    d = np.einsum(
-        "pnik,pnjk->pnij",
-        *(2 * [rng.standard_normal((P, nblk, bs, bs)).astype(np.float32) / bs]),
-    ) + 2.0 * np.eye(bs, dtype=np.float32)
-    e = rng.standard_normal((P, nblk, bs, bs)).astype(np.float32) / bs
-    e[:, 0] = 0
-    fac = block_banded_cholesky(jnp.asarray(d), jnp.asarray(e))
+    # operands generated ON DEVICE: the remote-attach tunnel moves ~MB/s,
+    # shipping GB-scale factors from host would dominate the benchmark
+    @jax.jit
+    def make():
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        g = jax.random.normal(k1, (P, nblk, bs, bs), jnp.float32) / bs
+        d = jnp.einsum("pnik,pnjk->pnij", g, g) + 2.0 * jnp.eye(bs)
+        e = jax.random.normal(k2, (P, nblk, bs, bs), jnp.float32) / bs
+        e = e.at[:, 0].set(0.0)
+        v = jax.random.normal(k3, (P, nblk, bs, t), jnp.float32)
+        return d, e, v
+
+    d, e, v = make()
+    fac = block_banded_cholesky(d, e)
     jax.block_until_ready(fac.l_inv)
-    v = jnp.asarray(rng.standard_normal((P, nblk, bs, t)).astype(np.float32))
     gb = 4 * P * nblk * bs * bs * 4 / 1e9  # 2 factors x fwd+bwd passes
 
-    for unroll in (1, 2, 4, True):
+    for unroll in (1, True):
         fn = jax.jit(lambda x, u=unroll: block_banded_solve(fac, x, unroll=u))
         w = fn(v)
         w.block_until_ready()

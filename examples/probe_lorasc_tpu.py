@@ -58,8 +58,10 @@ def main():
     t0 = time.time()
     solver = StencilLorascECG.build(
         a, nparts=nparts, br=3, grid=(nel + 1, nel + 1, nel),
-        opts=ECGOptions(t=t, tol=tol, maxiter=3000, layout="tbn"),
+        opts=ECGOptions(t=t, tol=tol, maxiter=3000, layout="tbn",
+                        stall_window=int(os.environ.get("PREALPS_PROBE_STALL", "0")) or 0),
         dtype=dtype, max_deflation=defl, shift=shift,
+        refine=bool(int(os.environ.get("PREALPS_PROBE_REFINE", "1"))),
     )
     build_t = time.time() - t0
     plan = solver.precond.plan

@@ -520,16 +520,40 @@ def build_scalable_lorasc(
                 op_apply, b_apply, ng_pad, ncv_eff, dtype=jnp.dtype(dtype),
                 v0=v0,
             )
-        theta = lancz.eigvalues[:nev]
         vecs = lancz.eigvectors[:, :nev]
-        # TRUE residuals ‖S u − θ B u‖ per candidate pair (one batched S·V
-        # panel), not the Krylov-coupling estimate: after thick restarts the
-        # estimate can under-report for locked directions, and an accepted
-        # bad pair carries a huge σ on a wrong direction (measured: accepting
-        # estimate-filtered pairs cost 2551 vs 606 iterations at n=148k het)
+        # Subspace Rayleigh-Ritz refinement + TRUE residuals. Two thick-
+        # restart artifacts poison the low-rank correction if candidates are
+        # used raw: (a) Krylov-coupling residual estimates under-report for
+        # locked directions (measured: 2551 vs 606 iters at n=148k het), and
+        # (b) near-DUPLICATE converged pairs double-count a mode in E σ Eᵀ —
+        # and a duplicate has zero residual, so no residual filter sees it
+        # (measured: restarts=8 converged 46 'good' pairs yet cost 530 vs 108
+        # iters at 18³). Projecting S, B onto span(candidates), whitening B
+        # (dropping near-dependent directions = the duplicates), and
+        # re-solving the small generalized problem fixes both at the cost of
+        # one batched S·V panel and k×k eighs.
+        sv = s_apply_panel(vecs)
         bv = b_apply_panel(vecs)
-        bnorm2 = jnp.einsum("gk,gk->k", vecs, bv, precision=HIGHEST)
-        r_true = s_apply_panel(vecs) - theta[None, :] * bv
+        sp = jnp.einsum("gi,gj->ij", vecs, sv, precision=HIGHEST)
+        bp = jnp.einsum("gi,gj->ij", vecs, bv, precision=HIGHEST)
+        sp = 0.5 * (sp + sp.T)
+        bp = 0.5 * (bp + bp.T)
+        dmu, u = jnp.linalg.eigh(bp)
+        keep = dmu > 1e-3          # near-zero B-mass = duplicate/degenerate
+        dsafe = jnp.where(keep, dmu, 1.0)
+        w = u * jnp.where(keep, 1.0 / jnp.sqrt(dsafe), 0.0)[None, :]
+        sw = w.T @ sp @ w
+        sw = 0.5 * (sw + sw.T)
+        # dropped directions get a huge placeholder value (never deflated)
+        big = jnp.asarray(1e6, sw.dtype)
+        sw = sw + jnp.diag(jnp.where(keep, 0.0, big))
+        theta, z = jnp.linalg.eigh(sw)
+        wz = w @ z
+        vecs = jnp.einsum("gk,km->gm", vecs, wz, precision=HIGHEST)
+        svr = jnp.einsum("gk,km->gm", sv, wz, precision=HIGHEST)
+        bvr = jnp.einsum("gk,km->gm", bv, wz, precision=HIGHEST)
+        bnorm2 = jnp.einsum("gk,gk->k", vecs, bvr, precision=HIGHEST)
+        r_true = svr - theta[None, :] * bvr
         resid = jnp.sqrt(jnp.einsum("gk,gk->k", r_true, r_true,
                                     precision=HIGHEST))
         return theta, vecs, bnorm2, resid
