@@ -467,7 +467,9 @@ class DistributedLorascECG:
             & (bnorm2 > 0.5)
             & (resid <= eig_resid_tol * deflation_tol)
         )
-        lam_eff = jnp.maximum(theta, deflation_tol * 1e-4)
+        # dtype-aware σ cap — see precond/lorasc_scale.py selection note
+        _floor_frac = 0.1 if np.dtype(dtype) == np.float32 else 1e-4
+        lam_eff = jnp.maximum(theta, deflation_tol * _floor_frac)
         sigma = jnp.where(ok, (deflation_tol - lam_eff) / lam_eff, 0.0).astype(dtype)
         e_mat = (vecs * jnp.asarray(sep_mask_np)[:, None]).astype(dtype)
         deflated = int(jnp.sum(ok))

@@ -574,7 +574,16 @@ def build_scalable_lorasc(
         & (bnorm2 > 0.5)
         & (resid <= eig_resid_tol * deflation_tol)
     )
-    lam_eff = jnp.maximum(theta, deflation_tol * 1e-4)
+    # σ cap via a floor on λ. The reference's exact σ=(tol−λ)/λ (f64) moves
+    # every deflated mode to precisely tol; in f32 a large σ amplifies the
+    # stored-vector noise by σ·eps and the refinement rounds grind on the
+    # corrupted directions (measured 18³ het: floor 1e-6→507 total iters,
+    # floor 0.1·tol→96). Under-corrected deep modes are cheap for ENLARGED
+    # CG — up to t outlier modes ride the block directions — so the capped
+    # σ keeps round-1 cost while fixing the noise. f64 keeps the reference
+    # behavior (no meaningful cap).
+    floor_frac = 0.1 if jnp.dtype(dtype) == jnp.float32 else 1e-4
+    lam_eff = jnp.maximum(theta, deflation_tol * floor_frac)
     sigma = jnp.where(ok, (deflation_tol - lam_eff) / lam_eff, 0.0).astype(dtype)
     dev["e_mat"] = (vecs * dev["sep_mask"][:, None]).astype(dtype)
     dev["sigma"] = sigma
