@@ -242,3 +242,89 @@ def csr_to_stencil_bsr_t(
         return None
     blocks_t = jnp.transpose(base.blocks, (1, 2, 3, 0))  # (S, br, br, nrb)
     return StencilBsrTMatrix(blocks_t=blocks_t, offsets=base.offsets, shape=base.shape)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DiaEllMatrix:
+    """Hybrid DIA + ELL: dense diagonals as static shifted reads, stragglers
+    in a small ELL remainder.
+
+    The general-matrix TPU answer to CSR SpMM (reference:
+    utils/cplm_light/cplm_kernels.c:620 mkl_dcsrmm): after a bandwidth-
+    reducing ordering (RCM), FEM/graph matrices concentrate their nnz on a
+    few hundred dense-ish diagonals. Each selected diagonal becomes ONE
+    broadcast-multiply of a statically shifted x view — no gathers, full
+    lane utilisation — and only the off-band stragglers pay the (slow)
+    gather-ELL path. Selection is by per-diagonal occupancy, so the format
+    degrades gracefully: a pure band runs gather-free, a random matrix
+    falls back to pure ELL.
+
+    y[i] = Σ_d diags[d, i] · x[i + offsets[d]]  +  ELL remainder.
+    """
+
+    offsets: tuple          # static diagonal offsets (col − row)
+    diags: jax.Array        # (D, n); entry [d, i] multiplies x[i + off_d]
+    rem: "EllMatrix | None" # straggler entries (None if band-complete)
+    shape: tuple
+
+    def tree_flatten(self):
+        return (self.diags, self.rem), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], children[1], aux[1])
+
+    @property
+    def nnz_capacity(self):
+        cap = self.diags.shape[0] * self.diags.shape[1]
+        return cap + (self.rem.nnz_capacity if self.rem is not None else 0)
+
+
+def csr_to_dia_ell(
+    a: sp.spmatrix,
+    min_fill: float = 0.2,
+    max_diags: int = 512,
+    dtype=None,
+) -> DiaEllMatrix:
+    """Convert a SQUARE CSR matrix to hybrid DIA+ELL.
+
+    Diagonals holding at least `min_fill · n` nonzeros are promoted to DIA
+    (at most `max_diags` of them, densest first); everything else lands in
+    the ELL remainder.
+    """
+    a = sp.csr_matrix(a)
+    n, m = a.shape
+    if n != m:
+        raise ValueError("DIA+ELL requires a square matrix")
+    dtype = np.dtype(dtype) if dtype is not None else a.dtype
+    coo = a.tocoo()
+    off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+    uniq, counts = np.unique(off, return_counts=True)
+    dense = uniq[counts >= max(int(min_fill * n), 1)]
+    if dense.size > max_diags:
+        order = np.argsort(counts[np.isin(uniq, dense)])[::-1]
+        dense = np.sort(dense[order[:max_diags]])
+    dense_set = set(int(o) for o in dense)
+
+    on_dia = np.isin(off, dense)
+    diags = np.zeros((max(dense.size, 1), n), dtype=dtype)
+    pos = {int(o): d for d, o in enumerate(dense)}
+    if dense.size:
+        didx = np.fromiter((pos[int(o)] for o in off[on_dia]), dtype=np.int64,
+                           count=int(on_dia.sum()))
+        np.add.at(diags, (didx, coo.row[on_dia]), coo.data[on_dia])
+
+    rem_mask = ~on_dia
+    if rem_mask.any():
+        rem_coo = sp.coo_matrix(
+            (coo.data[rem_mask], (coo.row[rem_mask], coo.col[rem_mask])),
+            shape=a.shape,
+        )
+        rem = csr_to_ell(sp.csr_matrix(rem_coo), dtype=dtype)
+    else:
+        rem = None
+    offsets = tuple(int(o) for o in dense) if dense.size else (0,)
+    return DiaEllMatrix(
+        offsets=offsets, diags=jnp.asarray(diags), rem=rem, shape=(n, m)
+    )

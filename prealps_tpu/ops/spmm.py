@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from prealps_tpu.ops.formats import BlockEllMatrix, EllMatrix
+from prealps_tpu.ops.formats import BlockEllMatrix, DiaEllMatrix, EllMatrix
 
 
 def ell_spmm(a: EllMatrix, x: jax.Array) -> jax.Array:
@@ -31,6 +31,27 @@ def ell_spmm(a: EllMatrix, x: jax.Array) -> jax.Array:
     gathered = x[a.cols]            # (n, L, t)
     return jnp.einsum("nl,nlt->nt", a.vals, gathered,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def dia_ell_spmm(a: DiaEllMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x for hybrid DIA+ELL. x: (n, t) -> y: (n, t).
+
+    Each promoted diagonal is one broadcast FMA over a statically shifted
+    row-window of x (major-axis slices — cheap); only the remainder gathers.
+    """
+    n = a.shape[0]
+    lo = max(-min(a.offsets), 0)
+    hi = max(max(a.offsets), 0)
+    x_pad = jnp.concatenate(
+        [jnp.zeros((lo,) + x.shape[1:], x.dtype), x,
+         jnp.zeros((hi,) + x.shape[1:], x.dtype)], axis=0)
+    y = jnp.zeros_like(x[:n])
+    for d, off in enumerate(a.offsets):
+        xs = jax.lax.slice_in_dim(x_pad, lo + off, lo + off + n, axis=0)
+        y = y + a.diags[d][:, None] * xs
+    if a.rem is not None:
+        y = y + ell_spmm(a.rem, x)
+    return y
 
 
 def block_ell_spmm(a: BlockEllMatrix, x: jax.Array) -> jax.Array:
@@ -129,6 +150,8 @@ def spmm(a, x: jax.Array) -> jax.Array:
 
     if isinstance(a, EllMatrix):
         return ell_spmm(a, x)
+    if isinstance(a, DiaEllMatrix):
+        return dia_ell_spmm(a, x)
     if isinstance(a, BlockEllMatrix):
         return block_ell_spmm(a, x)
     if isinstance(a, StencilBsrMatrix):

@@ -172,3 +172,64 @@ class TestPallasBlockSpecStencil:
             stencil_bsr_spmm_t_pallas_bs(st, xt, chunk=8, interpret=True)
         )
         np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12, atol=1e-12)
+
+
+class TestDiaEll:
+    def test_matches_scipy_banded_plus_noise(self, rng):
+        import scipy.sparse as sp
+
+        from prealps_tpu.ops.formats import csr_to_dia_ell
+        from prealps_tpu.ops.spmm import dia_ell_spmm, spmm
+
+        n = 300
+        band = sp.diags(
+            [rng.standard_normal(n - abs(k)) for k in (-7, -1, 0, 1, 7)],
+            offsets=[-7, -1, 0, 1, 7], shape=(n, n), format="csr",
+        )
+        noise = sp.random(n, n, density=0.002, random_state=7, format="csr")
+        a = sp.csr_matrix(band + noise)
+        d = csr_to_dia_ell(a, min_fill=0.5)
+        assert d.rem is not None           # the noise must land in ELL
+        assert len(d.offsets) == 5         # the five dense bands promoted
+        x = rng.standard_normal((n, 4))
+        y = np.asarray(dia_ell_spmm(d, jnp.asarray(x)))
+        np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+        y2 = np.asarray(spmm(d, jnp.asarray(x)))
+        np.testing.assert_allclose(y2, a @ x, rtol=1e-12, atol=1e-12)
+
+    def test_rcm_elasticity_band_complete(self, ela_small, rng):
+        # after RCM the elasticity operator is band-dominated; with a low
+        # promotion threshold every entry lands on a diagonal (rem None or
+        # tiny) and the product stays exact
+        import scipy.sparse as sp
+
+        from prealps_tpu.core.partition import rcm_order
+        from prealps_tpu.ops.formats import csr_to_dia_ell
+        from prealps_tpu.ops.spmm import dia_ell_spmm
+
+        a = sp.csr_matrix(ela_small)
+        p = rcm_order(a)
+        ap = sp.csr_matrix(a[p][:, p])
+        d = csr_to_dia_ell(ap, min_fill=0.02)
+        dia_cap = d.diags.shape[0] * d.diags.shape[1]
+        assert dia_cap >= 0.5 * ap.nnz     # most nnz promoted to diagonals
+        x = rng.standard_normal((ap.shape[0], 3))
+        y = np.asarray(dia_ell_spmm(d, jnp.asarray(x)))
+        np.testing.assert_allclose(y, ap @ x, rtol=1e-10, atol=1e-10)
+
+    def test_pure_band_no_remainder(self, rng):
+        import scipy.sparse as sp
+
+        from prealps_tpu.ops.formats import csr_to_dia_ell
+        from prealps_tpu.ops.spmm import dia_ell_spmm
+
+        n = 128
+        a = sp.diags(
+            [np.full(n - 1, 2.0), np.full(n, 5.0), np.full(n - 1, 2.0)],
+            offsets=[-1, 0, 1], format="csr",
+        )
+        d = csr_to_dia_ell(sp.csr_matrix(a))
+        assert d.rem is None
+        x = rng.standard_normal((n, 2))
+        y = np.asarray(dia_ell_spmm(d, jnp.asarray(x)))
+        np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
