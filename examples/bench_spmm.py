@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--nel", type=int, default=16)
     ap.add_argument("--t", default="1,4,8,12,16")
     ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--formats", default="stencil_t,stencil_t_pallas,ell")
+    ap.add_argument("--formats", default="stencil_t,stencil_t_pallas,ell,dia")
     args = ap.parse_args()
 
     import jax
@@ -33,10 +33,12 @@ def main():
     from prealps_tpu.core.generators import elasticity3d
     from prealps_tpu.core.scaling import sym_rac_scaling
     from prealps_tpu.ops.formats import (
+        csr_to_dia_ell,
         csr_to_ell,
         csr_to_stencil_bsr_t,
     )
     from prealps_tpu.ops.spmm import (
+        dia_ell_spmm,
         ell_spmm,
         stencil_bsr_spmm_t,
         stencil_bsr_spmm_t_pallas,
@@ -54,6 +56,16 @@ def main():
     mats = {}
     if "ell" in fmts:
         mats["ell"] = csr_to_ell(a, dtype=dtype)
+    if "dia" in fmts:
+        # RCM then hybrid DIA+ELL: the general-matrix path (no stencil
+        # structure assumed)
+        import scipy.sparse as sp
+
+        from prealps_tpu.core.partition import rcm_order
+
+        prcm = rcm_order(a)
+        mats["dia"] = csr_to_dia_ell(
+            sp.csr_matrix(a[prcm][:, prcm]), min_fill=0.05, dtype=dtype)
     if "stencil_t" in fmts or "stencil_t_pallas" in fmts:
         sb = csr_to_stencil_bsr_t(a, br=3, dtype=dtype)
         mats["stencil_t"] = sb
@@ -70,6 +82,9 @@ def main():
                 continue
             if name == "ell":
                 fn = jax.jit(lambda v: ell_spmm(mats["ell"], v))
+                arg = x
+            elif name == "dia":
+                fn = jax.jit(lambda v: dia_ell_spmm(mats["dia"], v))
                 arg = x
             elif name == "stencil_t":
                 fn = jax.jit(lambda v: stencil_bsr_spmm_t(mats["stencil_t"], v))
