@@ -437,7 +437,15 @@ def ecg_solve(
     if opts.variant not in _ITER_FNS:
         raise ValueError(f"unknown ECG variant {opts.variant!r}")
     if x0 is not None:
-        raise NotImplementedError("pass b - A x0 and add x0 to the result instead")
+        # solve the shifted system A dx = b − A x0 and add x0 back
+        # (reference: ecg.c always starts from X=0; x0 is an extension)
+        x0 = x0.astype(b.dtype)
+        if opts.layout == "nt":
+            r0 = b - a_apply(x0[:, None])[:, 0]
+        else:
+            r0 = b - a_apply(x0[None])[0]
+        res = ecg_solve(a_apply, m_apply, r0, opts, axis_name, split_assign)
+        return res._replace(x=res.x + x0)
     state0, normb = ecg_init(a_apply, m_apply, b, opts, axis_name, split_assign)
     final = ecg_run(a_apply, m_apply, state0, normb, opts, axis_name)
     return ecg_finalize(final, normb, opts.layout)

@@ -209,3 +209,44 @@ class TestCheckpoint:
         res = ecg_solve_checkpointed(a_apply, None, jnp.asarray(b), opts, path, every=50)
         res_plain = _solve(a, b, opts)
         assert abs(int(res.iters) - int(res_plain.iters)) <= 1
+
+
+class TestWarmStart:
+    def test_x0_converges_and_saves_iterations(self, ela_problem):
+        a, b = ela_problem
+        opts = ECGOptions(t=4, tol=1e-8, maxiter=4000)
+        cold = _solve(a, b, opts)
+        # warm start from a partially-converged solution
+        x_exact = spla.spsolve(sp.csc_matrix(a), b)
+        x0 = x_exact + 1e-4 * np.random.default_rng(1).standard_normal(
+            x_exact.shape)
+        ae = csr_to_ell(a)
+        warm = jax.jit(
+            lambda bb, xx: ecg_solve(
+                lambda v: ell_spmm(ae, v), None, bb, opts, x0=xx)
+        )(jnp.asarray(b), jnp.asarray(x0))
+        assert _relres(a, warm.x, b) < 1e-7
+        # the solver worked on the shifted system: its rhs is the small
+        # initial residual, not b (a random-direction x0 error repopulates
+        # every slow mode, so the iteration COUNT needn't drop)
+        assert float(warm.normb) < 1e-2 * np.linalg.norm(b)
+        assert int(warm.iters) <= int(cold.iters) + 5
+
+    def test_x0_tbn_layout(self, ela_problem):
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+
+        a, b = ela_problem
+        st = csr_to_stencil_bsr_t(a, br=3)
+        n = a.shape[0]
+        nrb = n // 3
+        opts = ECGOptions(t=4, tol=1e-8, maxiter=4000, layout="tbn")
+        b_lane = jnp.asarray(np.ascontiguousarray(b.reshape(nrb, 3).T))
+        x0 = 0.5 * spla.spsolve(sp.csc_matrix(a), b)
+        x0_lane = jnp.asarray(np.ascontiguousarray(x0.reshape(nrb, 3).T))
+        res = jax.jit(
+            lambda bb, xx: ecg_solve(
+                lambda v: stencil_bsr_spmm_t(st, v), None, bb, opts, x0=xx)
+        )(b_lane, x0_lane)
+        x = np.asarray(res.x).T.reshape(-1)
+        assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-7
