@@ -187,3 +187,39 @@ def lanczos_thick_restart(
         eigvalues=theta, eigvectors=vecs, resid=resid,
         niter=jnp.int32((restarts + 1) * m),
     )
+
+
+def rayleigh_ritz_refine(vecs, sv, bv, drop_tol: float = 1e-3):
+    """Subspace Rayleigh-Ritz refinement of candidate Ritz pairs for the
+    pencil (S, B), given the candidate panel and its S·V / B·V products.
+
+    Projects onto span(vecs), whitens B (dropping near-dependent directions
+    — thick-restart duplicates have ~zero whitened mass and a duplicate
+    passes any residual filter), and re-solves the small generalized
+    problem. Returns (theta, vecs_r, bnorm2, resid) with theta ascending,
+    vecs_r B-orthonormal, and resid = TRUE residual ‖S u − θ B u‖₂ per pair.
+    Dropped directions surface with a huge theta (never selected).
+    """
+    hp = jnp.einsum("gi,gj->ij", vecs, sv, precision=HIGHEST)
+    bp = jnp.einsum("gi,gj->ij", vecs, bv, precision=HIGHEST)
+    hp = 0.5 * (hp + hp.T)
+    bp = 0.5 * (bp + bp.T)
+    dmu, u = jnp.linalg.eigh(bp)
+    keep = dmu > drop_tol
+    dsafe = jnp.where(keep, dmu, 1.0)
+    w = u * jnp.where(keep, 1.0 / jnp.sqrt(dsafe), 0.0)[None, :]
+    sw = w.T @ hp @ w
+    sw = 0.5 * (sw + sw.T)
+    big = jnp.asarray(1e6, sw.dtype)
+    sw = sw + jnp.diag(jnp.where(keep, 0.0, big))
+    theta, z = jnp.linalg.eigh(sw)
+    wz = w @ z
+    vecs_r = jnp.einsum("gk,km->gm", vecs, wz, precision=HIGHEST)
+    svr = jnp.einsum("gk,km->gm", sv, wz, precision=HIGHEST)
+    bvr = jnp.einsum("gk,km->gm", bv, wz, precision=HIGHEST)
+    bnorm2 = jnp.einsum("gk,gk->k", vecs_r, bvr, precision=HIGHEST)
+    r_true = svr - theta[None, :] * bvr
+    resid = jnp.sqrt(
+        jnp.einsum("gk,gk->k", r_true, r_true, precision=HIGHEST)
+    )
+    return theta, vecs_r, bnorm2, resid

@@ -443,10 +443,16 @@ class DistributedLorascECG:
                     op_apply, b_apply, ng_pad, ncv_eff,
                     dtype=jnp.dtype(dtype), v0=v0,
                 )
-            theta = lancz.eigvalues[:nev]
+            # subspace RR refinement + TRUE residuals (kills thick-restart
+            # duplicates and estimate under-reporting — see
+            # precond/lorasc_scale.py)
+            from prealps_tpu.ops.lanczos import rayleigh_ritz_refine
+
             vecs = lancz.eigvectors[:, :nev]
-            bnorm2 = jax.vmap(lambda c: jnp.vdot(c, b_apply(c)), in_axes=1)(vecs)
-            return theta, vecs, bnorm2, lancz.resid[:nev]
+            sv = jax.vmap(s_apply, in_axes=1, out_axes=1)(vecs)
+            bv = jax.vmap(b_apply, in_axes=1, out_axes=1)(vecs)
+            theta, vecs, bnorm2, resid = rayleigh_ritz_refine(vecs, sv, bv)
+            return theta, vecs, bnorm2, resid
 
         lancz_fn = jax.jit(
             _shard_map(

@@ -532,30 +532,11 @@ def build_scalable_lorasc(
         # (dropping near-dependent directions = the duplicates), and
         # re-solving the small generalized problem fixes both at the cost of
         # one batched S·V panel and k×k eighs.
+        from prealps_tpu.ops.lanczos import rayleigh_ritz_refine
+
         sv = s_apply_panel(vecs)
         bv = b_apply_panel(vecs)
-        sp = jnp.einsum("gi,gj->ij", vecs, sv, precision=HIGHEST)
-        bp = jnp.einsum("gi,gj->ij", vecs, bv, precision=HIGHEST)
-        sp = 0.5 * (sp + sp.T)
-        bp = 0.5 * (bp + bp.T)
-        dmu, u = jnp.linalg.eigh(bp)
-        keep = dmu > 1e-3          # near-zero B-mass = duplicate/degenerate
-        dsafe = jnp.where(keep, dmu, 1.0)
-        w = u * jnp.where(keep, 1.0 / jnp.sqrt(dsafe), 0.0)[None, :]
-        sw = w.T @ sp @ w
-        sw = 0.5 * (sw + sw.T)
-        # dropped directions get a huge placeholder value (never deflated)
-        big = jnp.asarray(1e6, sw.dtype)
-        sw = sw + jnp.diag(jnp.where(keep, 0.0, big))
-        theta, z = jnp.linalg.eigh(sw)
-        wz = w @ z
-        vecs = jnp.einsum("gk,km->gm", vecs, wz, precision=HIGHEST)
-        svr = jnp.einsum("gk,km->gm", sv, wz, precision=HIGHEST)
-        bvr = jnp.einsum("gk,km->gm", bv, wz, precision=HIGHEST)
-        bnorm2 = jnp.einsum("gk,gk->k", vecs, bvr, precision=HIGHEST)
-        r_true = svr - theta[None, :] * bvr
-        resid = jnp.sqrt(jnp.einsum("gk,gk->k", r_true, r_true,
-                                    precision=HIGHEST))
+        theta, vecs, bnorm2, resid = rayleigh_ritz_refine(vecs, sv, bv)
         return theta, vecs, bnorm2, resid
 
     v0 = jnp.asarray(sep_mask * 1e-2, dtype=dtype)
