@@ -250,8 +250,20 @@ def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
     lane utilisation, reading each operand once. Wrap-around entries multiply
     zero blocks, so attaching the panel's own boundary slices as halos is
     exact (same argument as jnp.roll).
+
+    PREALPS_STENCIL_IMPL=pallas routes to the BlockSpec Pallas kernel on the
+    TPU backend (measured 0.90 ms vs 1.53 ms XLA-unrolled at n=148k/t=12,
+    bit-exact — docs/PERFORMANCE.md); other backends and impls use the XLA
+    shift formulations.
     """
+    import os
+
     s_max, br, _, nrb = a.blocks_t.shape
+    if (
+        os.environ.get("PREALPS_STENCIL_IMPL") == "pallas"
+        and jax.default_backend() == "tpu"
+    ):
+        return stencil_bsr_spmm_t_pallas_bs(a, xt, chunk=1536)
     halo = max(max(abs(o) for o in a.offsets), 0)
     x_ext = jnp.concatenate(
         [xt[:, :, nrb - halo:], xt, xt[:, :, :halo]], axis=2
