@@ -65,7 +65,7 @@ def _main():
     fmt = os.environ.get("PREALPS_BENCH_FMT", "stencil")
     precond = os.environ.get("PREALPS_BENCH_PRECOND", "block_jacobi")
     # fastest measured stencil implementation (docs/PERFORMANCE.md)
-    os.environ.setdefault("PREALPS_STENCIL_IMPL", "unrolled")
+    os.environ.setdefault("PREALPS_STENCIL_IMPL", "pallas")
     cheb_degree = int(os.environ.get("PREALPS_BENCH_CHEB_DEG", "8"))
     heterogeneous = bool(int(os.environ.get("PREALPS_BENCH_HET", "0")))
     inner_tol = float(os.environ.get("PREALPS_BENCH_INNER_TOL", "1e-3"))

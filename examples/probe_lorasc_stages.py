@@ -31,7 +31,7 @@ def main():
     defl = int(os.environ.get("PREALPS_PROBE_DEFL", "128"))
     t = int(os.environ.get("PREALPS_PROBE_T", "12"))
     maxiter = int(os.environ.get("PREALPS_PROBE_MAXITER", "60"))
-    os.environ.setdefault("PREALPS_STENCIL_IMPL", "unrolled")
+    os.environ.setdefault("PREALPS_STENCIL_IMPL", "pallas")
     dtype = np.float32 if on_tpu else np.float64
 
     from prealps_tpu.core.generators import elasticity3d

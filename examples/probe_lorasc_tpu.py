@@ -33,7 +33,7 @@ def main():
     tol = float(os.environ.get("PREALPS_PROBE_TOL", "1e-5"))
     het = bool(int(os.environ.get("PREALPS_PROBE_HET", "1")))
     shift = float(os.environ.get("PREALPS_PROBE_SHIFT", "0"))
-    os.environ.setdefault("PREALPS_STENCIL_IMPL", "unrolled")
+    os.environ.setdefault("PREALPS_STENCIL_IMPL", "pallas")
     dtype = np.float32 if on_tpu else np.float64
 
     from prealps_tpu.core.generators import elasticity3d
