@@ -259,12 +259,20 @@ def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
     import os
 
     s_max, br, _, nrb = a.blocks_t.shape
+    halo = max(max(abs(o) for o in a.offsets), 0)
     if (
         os.environ.get("PREALPS_STENCIL_IMPL") == "pallas"
         and jax.default_backend() == "tpu"
     ):
-        return stencil_bsr_spmm_t_pallas_bs(a, xt, chunk=1536)
-    halo = max(max(abs(o) for o in a.offsets), 0)
+        # VMEM budget picks the chunk: 3 x views + out (t·br·chunk each) +
+        # blocks (s·br²·chunk), double-buffered. Wide panels (the Lanczos
+        # S·V refinement applies the operator at t≈nev) would need a chunk
+        # below the halo — those fall back to the XLA path.
+        t_dim = xt.shape[0]
+        denom = (4 * t_dim * br + s_max * br * br) * 4 * 2
+        chunk = max((5_000_000 // denom) // 128 * 128, 128)
+        if chunk >= halo:
+            return stencil_bsr_spmm_t_pallas_bs(a, xt, chunk=chunk)
     x_ext = jnp.concatenate(
         [xt[:, :, nrb - halo:], xt, xt[:, :, :halo]], axis=2
     )

@@ -205,6 +205,41 @@ class DistributedECG:
                 halo_plan = None
                 mat_operands = (ell.vals, ell.cols)
                 mat_specs = (P(AXIS, None), P(AXIS, None))
+        elif fmt == "dia":
+            # hybrid DIA+ELL: promoted diagonals exchange a ring halo of
+            # max|offset| rows (exact — out-of-range diag entries are zero);
+            # the straggler remainder rides the dep-based ELL halo plan
+            from prealps_tpu.ops.formats import csr_to_dia_ell
+
+            de = csr_to_dia_ell(a_pad, min_fill=0.05, dtype=dtype)
+            dia_offsets = de.offsets
+            dia_halo = max(max(abs(o) for o in dia_offsets), 0)
+            rem = de.rem
+            if rem is None:
+                # keep one shape-stable (all-zero) ELL slot
+                rem_vals = jnp.zeros((n_pad, 1), dtype)
+                rem_cols = jnp.zeros((n_pad, 1), jnp.int32)
+            else:
+                rem_vals, rem_cols = rem.vals, rem.cols
+            if nshards > 1:
+                from prealps_tpu.core.layout import build_halo_plan
+
+                halo_plan = build_halo_plan(
+                    layout, np.asarray(rem_cols), np.asarray(rem_vals)
+                )
+                halo_h = halo_plan.h
+                mat_operands = (
+                    de.diags, rem_vals,
+                    jnp.asarray(halo_plan.cols_local),
+                    jnp.asarray(halo_plan.send_idx),
+                )
+                mat_specs = (
+                    P(None, AXIS), P(AXIS, None), P(AXIS, None),
+                    P(AXIS, None, None),
+                )
+            else:
+                mat_operands = (de.diags, rem_vals, rem_cols)
+                mat_specs = (P(None, AXIS), P(AXIS, None), P(AXIS, None))
         elif fmt in ("block_ell", "block_ell_xla"):
             bell = csr_to_block_ell(a_pad, bm=8, bk=128, dtype=dtype)
             assert bell.shape[0] == n_pad, "row padding must already align to 8"
@@ -302,6 +337,54 @@ class DistributedECG:
 
                     return stencil_scan_accumulate(
                         blocks_t_loc, stencil_offsets, x_ext, halo
+                    )
+                if fmt == "dia":
+                    diags_loc = mat_ops[0]       # (D, mpl)
+                    # diagonal part: ring halo of x rows (wrap entries
+                    # multiply zero diag coefficients — exact)
+                    if nshards > 1 and dia_halo <= mpl:
+                        fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+                        bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+                        left = jax.lax.ppermute(
+                            x_loc[mpl - dia_halo:], AXIS, fwd)
+                        right = jax.lax.ppermute(x_loc[:dia_halo], AXIS, bwd)
+                        x_ext = jnp.concatenate([left, x_loc, right], axis=0)
+                    elif nshards == 1:
+                        x_ext = jnp.concatenate(
+                            [x_loc[mpl - dia_halo:], x_loc, x_loc[:dia_halo]],
+                            axis=0,
+                        )
+                    else:  # degenerate thin shards
+                        x_all = jax.lax.all_gather(x_loc, AXIS, axis=0,
+                                                   tiled=True)
+                        base = jax.lax.axis_index(AXIS) * mpl
+                        x_all = jnp.roll(x_all, dia_halo - base, axis=0)
+                        x_ext = x_all[: mpl + 2 * dia_halo]
+                    y = jnp.zeros_like(x_loc)
+                    for d_i, off in enumerate(dia_offsets):
+                        xs = jax.lax.slice_in_dim(
+                            x_ext, dia_halo + off, dia_halo + off + mpl, axis=0
+                        )
+                        y = y + diags_loc[d_i][:, None] * xs
+                    # remainder stragglers
+                    if nshards > 1:
+                        _, rv_loc, rc_loc, send_loc = mat_ops
+                        x_send = x_loc[send_loc[0]]
+                        x_recv = jax.lax.all_to_all(
+                            x_send, AXIS, split_axis=0, concat_axis=0,
+                            tiled=True,
+                        )
+                        x_rem = jnp.concatenate(
+                            [x_loc, x_recv.reshape(nshards * halo_h, -1)],
+                            axis=0,
+                        )
+                    else:
+                        _, rv_loc, rc_loc = mat_ops
+                        x_rem = x_loc
+                    gathered = x_rem[rc_loc]
+                    return y + jnp.einsum(
+                        "ml,mlt->mt", rv_loc, gathered,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                 if fmt == "ell" and nshards > 1:
                     # dep-based halo exchange: pack exactly the boundary rows
