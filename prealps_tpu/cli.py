@@ -74,7 +74,7 @@ def _common_parser(desc):
     p.add_argument("-i", "--maxiter", type=int, default=10000)
     p.add_argument("--nshards", type=int, default=1)
     p.add_argument("--fmt", default="ell",
-                   choices=["ell", "stencil", "block_ell", "block_ell_xla"])
+                   choices=["ell", "dia", "stencil", "block_ell", "block_ell_xla"])
     p.add_argument("--layout", default="nt", choices=["nt", "tbn"],
                    help="panel layout (tbn = lane-major TPU fast path)")
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64"])
@@ -165,6 +165,11 @@ def lorasc_main(argv=None):
     p.add_argument("--deflation-tol", type=float, default=1e-2)
     p.add_argument("--eig-method", default="direct", choices=["direct", "lanczos"])
     p.add_argument("--eigs-kind", default="ssloc", choices=["ssloc", "saloc"])
+    p.add_argument("--scalable", action="store_true",
+                   help="at-scale banded LORASC for stencil operators "
+                   "(block-banded interiors + thick-restart Lanczos "
+                   "deflation; precond/lorasc_scale.py — the benchmark path)")
+    p.add_argument("--max-deflation", type=int, default=64)
     args = p.parse_args(argv)
 
     from prealps_tpu.api import ECGSolver
@@ -174,7 +179,17 @@ def lorasc_main(argv=None):
     b = _load_rhs(args, a.shape[0])
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
                       variant=args.ortho_alg, adaptive=args.adaptive)
-    if args.precond == "lorasc" and (args.nshards > 1 or args.np_level1):
+    if args.precond == "lorasc" and args.scalable:
+        from dataclasses import replace as _dc_replace
+
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+
+        solver = StencilLorascECG.build(
+            a, nparts=args.nparts, opts=_dc_replace(opts, layout="tbn"),
+            deflation_tol=args.deflation_tol,
+            max_deflation=args.max_deflation, dtype=_dtype_of(args),
+        )
+    elif args.precond == "lorasc" and (args.nshards > 1 or args.np_level1):
         from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
 
         if args.np_level1:

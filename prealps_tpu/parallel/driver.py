@@ -349,17 +349,22 @@ class DistributedECG:
                             x_loc[mpl - dia_halo:], AXIS, fwd)
                         right = jax.lax.ppermute(x_loc[:dia_halo], AXIS, bwd)
                         x_ext = jnp.concatenate([left, x_loc, right], axis=0)
-                    elif nshards == 1:
-                        x_ext = jnp.concatenate(
-                            [x_loc[mpl - dia_halo:], x_loc, x_loc[:dia_halo]],
-                            axis=0,
-                        )
-                    else:  # degenerate thin shards
-                        x_all = jax.lax.all_gather(x_loc, AXIS, axis=0,
-                                                   tiled=True)
-                        base = jax.lax.axis_index(AXIS) * mpl
-                        x_all = jnp.roll(x_all, dia_halo - base, axis=0)
-                        x_ext = x_all[: mpl + 2 * dia_halo]
+                    else:
+                        # wide band relative to the shard (or single shard):
+                        # tile the gathered panel so ANY |offset| ≤ n_pad
+                        # wraps — wrapped rows multiply zero diag entries
+                        if nshards > 1:
+                            x_all = jax.lax.all_gather(
+                                x_loc, AXIS, axis=0, tiled=True)
+                            base = jax.lax.axis_index(AXIS) * mpl
+                        else:
+                            x_all = x_loc
+                            base = 0
+                        reps = -(-(mpl + 2 * dia_halo) // n_pad) + 1
+                        x_big = jnp.concatenate([x_all] * reps, axis=0)
+                        x_big = jnp.roll(
+                            x_big, dia_halo - base, axis=0)
+                        x_ext = x_big[: mpl + 2 * dia_halo]
                     y = jnp.zeros_like(x_loc)
                     for d_i, off in enumerate(dia_offsets):
                         xs = jax.lax.slice_in_dim(
