@@ -90,6 +90,105 @@ def local_schur_complements(ap: sp.csr_matrix, arrow: BlockArrowStruct, sep_owne
     return blocks, sep_off
 
 
+def local_schur_complements_banded(
+    ap: sp.csr_matrix, arrow: BlockArrowStruct, sep_owner, dtype=np.float64
+):
+    """Exact local Schur complements via the batched block-banded PARTIAL
+    factorization on device (direct/banded.py::block_banded_schur — the
+    at-scale analog of MKL-PARDISO iparm[35]=2 / MUMPS listvar_schur,
+    reference: mkl_pardiso_solver.c:131-141, presc.c:239-241).
+
+    Per part: rows laid out [interior (RCM), pad, separator, pad], the
+    leading blocks eliminated by the banded recursion, one dense Schur on
+    the trailing block. Identity padding rows decouple, so the extracted
+    sep×sep window is exactly S_loc. Same return contract as
+    local_schur_complements.
+    """
+    import jax.numpy as jnp
+
+    from prealps_tpu.core.partition import rcm_order
+    from prealps_tpu.direct.banded import block_banded_schur
+
+    ni_all = arrow.sep_start
+    off = arrow.interior_offsets
+    k = arrow.nparts
+    sep_counts = np.bincount(sep_owner, minlength=k)
+    sep_off = np.concatenate([[0], np.cumsum(sep_counts)])
+
+    # per-part rows + pinned ordering [interior-RCM ∥ separator]
+    part_rows, perms, ni_p, ns_p = [], [], [], []
+    for p in range(k):
+        srows = np.flatnonzero(sep_owner == p) + ni_all
+        i0, i1 = int(off[p]), int(off[p + 1])
+        irows = np.arange(i0, i1)
+        sub_i = ap[irows][:, irows]
+        pi = rcm_order(sub_i) if irows.size > 2 else np.arange(irows.size)
+        part_rows.append(np.concatenate([irows[pi], srows]))
+        ni_p.append(irows.size)
+        ns_p.append(srows.size)
+    ni_max, ns_max = max(ni_p), max(max(ns_p), 1)
+
+    # uniform positions: interior i -> i, separator j -> ni_max + j; measure
+    # the bandwidth on these (the pad gap counts toward the band)
+    bw = 1
+    for p in range(k):
+        rows = part_rows[p]
+        pos = np.concatenate([
+            np.arange(ni_p[p]), ni_max + np.arange(ns_p[p])
+        ])
+        sub = ap[rows][:, rows].tocoo()
+        if sub.nnz:
+            bw = max(bw, int(np.abs(pos[sub.row] - pos[sub.col]).max()))
+
+    # choose bs with the Schur window inside the trailing block:
+    # n_schur = nblk*bs − ni_max must satisfy ns_max ≤ n_schur ≤ bs
+    bs = -(-max(bw, ns_max) // 8) * 8
+    while True:
+        nblk = ni_max // bs + 1
+        n_schur = nblk * bs - ni_max
+        if n_schur >= ns_max and n_schur <= bs and bs >= bw:
+            break
+        bs += 8
+    rows_padded = nblk * bs
+
+    d = np.zeros((k, nblk, bs, bs), dtype=dtype)
+    e = np.zeros((k, nblk, bs, bs), dtype=dtype)
+    for p in range(k):
+        rows = part_rows[p]
+        pos = np.concatenate([
+            np.arange(ni_p[p]), ni_max + np.arange(ns_p[p])
+        ])
+        sub = ap[rows][:, rows].tocoo()
+        r, c = pos[sub.row], pos[sub.col]
+        rb, cb = r // bs, c // bs
+        same = rb == cb
+        np.add.at(d[p], (rb[same], r[same] % bs, c[same] % bs),
+                  sub.data[same])
+        # only the lower couplings: A is symmetric, so each upper entry's
+        # partner appears separately in the COO (double-adding would split
+        # the coupling across E and Eᵀ twice)
+        low = rb == cb + 1
+        np.add.at(e[p], (rb[low], r[low] % bs, c[low] % bs), sub.data[low])
+        filled = np.concatenate([
+            np.arange(ni_p[p]), ni_max + np.arange(ns_p[p])
+        ])
+        padr = np.setdiff1d(np.arange(rows_padded), filled)
+        d[p, padr // bs, padr % bs, padr % bs] = 1.0
+
+    schur, bad = block_banded_schur(jnp.asarray(d), jnp.asarray(e), n_schur)
+    if bool(bad):
+        raise RuntimeError("banded partial factorization failed (not SPD?)")
+    schur = np.asarray(schur, dtype=np.float64)
+    # extract each part's sep×sep window: sep rows sit at window positions
+    # [ni_max + j] − (rows_padded − n_schur)
+    base = ni_max - (rows_padded - n_schur)
+    blocks = []
+    for p in range(k):
+        s = schur[p, base: base + ns_p[p], base: base + ns_p[p]]
+        blocks.append(0.5 * (s + s.T))
+    return blocks, sep_off
+
+
 def build_presc(
     a: sp.spmatrix,
     nparts: int = 8,
@@ -97,6 +196,8 @@ def build_presc(
     max_deflation: int = 64,
     eigs_kind: str = "ssloc",        # ssloc | saloc
     eig_method: str = "direct",      # direct | lanczos
+    schur_method: str = "dense",     # dense (host spsolve) | banded (device
+                                     # partial factorization, the at-scale path)
     lanczos_ncv: int | None = None,
     arrow: BlockArrowStruct | None = None,
     dtype=None,
@@ -134,7 +235,11 @@ def build_presc(
 
     s_dense = schur_complement_dense(aii, aig, agi, agg)
     if eigs_kind == "ssloc":
-        blocks, sep_off = local_schur_complements(ap, arrow, owner)
+        if schur_method == "banded":
+            blocks, sep_off = local_schur_complements_banded(
+                ap, arrow, owner, dtype=np.float64)
+        else:
+            blocks, sep_off = local_schur_complements(ap, arrow, owner)
         b_dense = scipy.linalg.block_diag(*[b for b in blocks if b.size])
     elif eigs_kind == "saloc":
         sep_counts = np.bincount(owner, minlength=arrow.nparts)

@@ -74,3 +74,44 @@ class TestPrescLanczos:
         )
         x, info = solver.solve(b)
         assert _relres(ela_small, x, b) < 1e-5
+
+
+class TestBandedLocalSchur:
+    def test_matches_dense_local_schur(self, ela_small):
+        """The device banded partial factorization reproduces the host
+        dense local Schur complements exactly (the at-scale PARDISO
+        iparm[35] path wired into PRESC)."""
+        import scipy.sparse as sp
+
+        from prealps_tpu.core.partition import block_arrow_structure, permute
+        from prealps_tpu.precond.presc import (
+            local_schur_complements,
+            local_schur_complements_banded,
+            separator_owners,
+        )
+
+        a = sp.csr_matrix(ela_small)
+        arrow = block_arrow_structure(a, 4)
+        ap = permute(a, arrow.perm)
+        owner = separator_owners(ap, arrow)
+        sep_order = np.argsort(owner, kind="stable")
+        ni = arrow.sep_start
+        perm2 = np.concatenate([np.arange(ni), ni + sep_order])
+        ap2 = permute(ap, perm2)
+        from prealps_tpu.core.partition import BlockArrowStruct
+
+        arrow2 = BlockArrowStruct(
+            perm=arrow.perm[perm2],
+            interior_offsets=arrow.interior_offsets,
+            sep_start=ni, n=arrow.n, part=arrow.part,
+        )
+        owner2 = owner[sep_order]
+
+        ref_blocks, ref_off = local_schur_complements(ap2, arrow2, owner2)
+        dev_blocks, dev_off = local_schur_complements_banded(
+            ap2, arrow2, owner2)
+        np.testing.assert_array_equal(ref_off, dev_off)
+        for rb, db in zip(ref_blocks, dev_blocks):
+            assert rb.shape == db.shape
+            if rb.size:
+                np.testing.assert_allclose(db, rb, rtol=1e-8, atol=1e-9)
