@@ -199,3 +199,33 @@ class TestCliVectorIO:
         save_vector(str(rhs_path), np.ones(10))
         with pytest.raises(SystemExit):
             ecg_main(["--size", "6x5x5", "--rhs", str(rhs_path)])
+
+
+class TestCliScalableLorasc:
+    def test_scalable_flag_runs(self, capsys):
+        from prealps_tpu.cli import lorasc_main
+
+        rc = lorasc_main([
+            "--generate", "ela", "--size", "6x6x6", "-e", "2",
+            "--scalable", "--nparts", "4", "-t", "1e-6", "--json",
+        ])
+        out = capsys.readouterr().out
+        import json
+
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["relres"] < 1e-5
+        assert rc in (0, None)
+
+    def test_dia_fmt_runs(self, capsys):
+        from prealps_tpu.cli import ecg_main
+
+        rc = ecg_main([
+            "--generate", "ela", "--size", "6x5x5", "-e", "2",
+            "--fmt", "dia", "--nshards", "4", "-t", "1e-7", "--json",
+        ])
+        out = capsys.readouterr().out
+        import json
+
+        rec = json.loads(out.strip().splitlines()[-1])
+        assert rec["relres"] < 1e-6
+        assert rc in (0, None)
