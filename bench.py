@@ -104,7 +104,7 @@ def _main():
         solver = StencilLorascECG.build(
             a, nparts=int(os.environ.get("PREALPS_BENCH_NPARTS", "8")),
             br=3, grid=(nel + 1, nel + 1, nel), opts=opts, dtype=dtype,
-            max_deflation=int(os.environ.get("PREALPS_BENCH_DEFL", "128")),
+            max_deflation=int(os.environ.get("PREALPS_BENCH_DEFL", "256")),
             inner_tol=inner_tol,
         )
     else:
