@@ -400,3 +400,49 @@ class TestTwoLevel:
         aqr = stencil_bsr_spmm_t(sb, qr)
         qaqr = coarse_apply(y5, ac_inv, aqr)
         np.testing.assert_allclose(np.asarray(qaqr), np.asarray(qr), rtol=1e-6, atol=1e-8)
+
+
+class TestRayleighRitzRefine:
+    def test_duplicates_dropped(self, rng):
+        """A duplicated converged Ritz vector has zero residual, so residual
+        filters cannot see it; the whitening step must drop it."""
+        from prealps_tpu.ops.lanczos import rayleigh_ritz_refine
+
+        n = 120
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.linspace(0.01, 2.0, n)
+        s = (q * lam) @ q.T
+        # candidates: 3 true eigenvectors + an exact duplicate of the first
+        vecs = np.stack([q[:, 0], q[:, 1], q[:, 2], q[:, 0]], axis=1)
+        sv = s @ vecs
+        theta, vr, bnorm2, resid = rayleigh_ritz_refine(
+            jnp.asarray(vecs), jnp.asarray(sv), jnp.asarray(vecs)
+        )
+        theta = np.asarray(theta)
+        bnorm2 = np.asarray(bnorm2)
+        # three real pairs survive with unit B-mass; the duplicate direction
+        # surfaces with the huge placeholder eigenvalue and zero mass
+        np.testing.assert_allclose(theta[:3], lam[:3], rtol=1e-8)
+        assert theta[3] > 1e5
+        np.testing.assert_allclose(bnorm2[:3], 1.0, rtol=1e-8)
+        assert abs(bnorm2[3]) < 1e-6
+        assert np.asarray(resid)[:3].max() < 1e-8
+
+    def test_sigma_cap_f32(self, ela_small):
+        """f32 LORASC builds floor lambda at 0.1*tol: sigma never exceeds
+        (tol - floor)/floor = 9."""
+        import scipy.sparse as sp
+
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.precond.lorasc_scale import build_scalable_lorasc
+
+        a, _ = sym_rac_scaling(sp.csr_matrix(ela_small))
+        a_t = csr_to_stencil_bsr_t(a, br=3, dtype=np.float32)
+        pre = build_scalable_lorasc(
+            a, nparts=4, br=3, max_deflation=16, dtype=np.float32,
+            a_stencil=a_t, restarts=3,
+        )
+        sig = np.asarray(pre.operands["sigma"])
+        assert sig.max() <= 9.0 + 1e-3
+        assert pre.deflated >= 1
