@@ -33,7 +33,6 @@ def main():
     from prealps_tpu.core.generators import elasticity3d
     from prealps_tpu.core.scaling import sym_rac_scaling
     from prealps_tpu.ops.formats import (
-        csr_to_dia_ell,
         csr_to_ell,
         csr_to_stencil_bsr_t,
     )
@@ -57,15 +56,11 @@ def main():
     if "ell" in fmts:
         mats["ell"] = csr_to_ell(a, dtype=dtype)
     if "dia" in fmts:
-        # RCM then hybrid DIA+ELL: the general-matrix path (no stencil
-        # structure assumed)
-        import scipy.sparse as sp
+        # hybrid DIA+ELL with automatic ordering: the general-matrix path
+        # (no stencil block structure assumed)
+        from prealps_tpu.ops.formats import csr_to_dia_ell_auto
 
-        from prealps_tpu.core.partition import rcm_order
-
-        prcm = rcm_order(a)
-        mats["dia"] = csr_to_dia_ell(
-            sp.csr_matrix(a[prcm][:, prcm]), min_fill=0.05, dtype=dtype)
+        mats["dia"], _ = csr_to_dia_ell_auto(a, min_fill=0.05, dtype=dtype)
     if "stencil_t" in fmts or "stencil_t_pallas" in fmts:
         sb = csr_to_stencil_bsr_t(a, br=3, dtype=dtype)
         mats["stencil_t"] = sb

@@ -328,3 +328,42 @@ def csr_to_dia_ell(
     return DiaEllMatrix(
         offsets=offsets, diags=jnp.asarray(diags), rem=rem, shape=(n, m)
     )
+
+
+def dia_coverage(a: sp.spmatrix, min_fill: float = 0.2) -> float:
+    """Fraction of nnz on diagonals that would be promoted at `min_fill`."""
+    a = sp.csr_matrix(a)
+    coo = a.tocoo()
+    off = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+    _, counts = np.unique(off, return_counts=True)
+    dense = counts >= max(int(min_fill * a.shape[0]), 1)
+    return float(counts[dense].sum() / max(a.nnz, 1))
+
+
+def csr_to_dia_ell_auto(
+    a: sp.spmatrix, min_fill: float = 0.2, dtype=None
+):
+    """Hybrid DIA+ELL with automatic ordering: keeps the CALLER's order when
+    it is already diagonal-dominated, else tries RCM and keeps whichever
+    covers more nnz on promoted diagonals.
+
+    Grid operators in natural order are ~100% diagonal-covered (measured:
+    99 diagonals cover ALL of 36³ elasticity at 1.2× the stencil format's
+    traffic), while RCM smears them across thousands of sparse diagonals —
+    bandwidth reduction is the right move for banded SOLVERS, not for
+    diagonal-structured PRODUCTS.
+
+    Returns (DiaEllMatrix, perm) with perm=None when the caller's order won
+    (the operator then applies to unpermuted vectors).
+    """
+    from prealps_tpu.core.partition import rcm_order
+
+    cov_nat = dia_coverage(a, min_fill)
+    if cov_nat >= 0.9:
+        return csr_to_dia_ell(a, min_fill=min_fill, dtype=dtype), None
+    perm = rcm_order(sp.csr_matrix(a))
+    ap = sp.csr_matrix(sp.csr_matrix(a)[perm][:, perm])
+    cov_rcm = dia_coverage(ap, min_fill)
+    if cov_rcm > cov_nat:
+        return csr_to_dia_ell(ap, min_fill=min_fill, dtype=dtype), perm
+    return csr_to_dia_ell(a, min_fill=min_fill, dtype=dtype), None

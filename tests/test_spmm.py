@@ -233,3 +233,42 @@ class TestDiaEll:
         x = rng.standard_normal((n, 2))
         y = np.asarray(dia_ell_spmm(d, jnp.asarray(x)))
         np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+
+    def test_auto_order_prefers_natural_on_grid(self, ela_small, rng):
+        import scipy.sparse as sp
+
+        from prealps_tpu.ops.formats import csr_to_dia_ell_auto, dia_coverage
+        from prealps_tpu.ops.spmm import dia_ell_spmm
+
+        a = sp.csr_matrix(ela_small)
+        assert dia_coverage(a, 0.05) > 0.9
+        d, perm = csr_to_dia_ell_auto(a, min_fill=0.05)
+        assert perm is None                      # natural order kept
+        x = rng.standard_normal((a.shape[0], 2))
+        y = np.asarray(dia_ell_spmm(d, jnp.asarray(x)))
+        np.testing.assert_allclose(y, a @ x, rtol=1e-10, atol=1e-10)
+
+    def test_auto_order_rcm_on_shuffled(self, rng):
+        # randomly permuted band matrix: natural coverage is poor, RCM
+        # recovers the band
+        import scipy.sparse as sp
+
+        from prealps_tpu.ops.formats import csr_to_dia_ell_auto
+        from prealps_tpu.ops.spmm import dia_ell_spmm
+
+        n = 400
+        a = sp.diags(
+            [np.full(n - 1, -1.0), np.full(n, 4.0), np.full(n - 1, -1.0)],
+            offsets=[-1, 0, 1], format="csr",
+        )
+        p = rng.permutation(n)
+        ashuf = sp.csr_matrix(a[p][:, p])
+        d, perm = csr_to_dia_ell_auto(ashuf, min_fill=0.2)
+        assert perm is not None
+        x = rng.standard_normal((n, 2))
+        y_perm = np.asarray(dia_ell_spmm(d, jnp.asarray(x[perm])))
+        # undo the permutation on the output
+        y = np.empty_like(y_perm)
+        y[...] = y_perm
+        ref = (ashuf @ x)[perm]
+        np.testing.assert_allclose(y, ref, rtol=1e-10, atol=1e-10)
