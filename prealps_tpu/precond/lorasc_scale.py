@@ -323,14 +323,18 @@ def _sep_flat(plan: ArrowBandPlan, gb: jax.Array) -> jax.Array:
     return gb.reshape(plan.ng_pad, -1)
 
 
-def _agg_solve(plan, ops, g: jax.Array) -> jax.Array:
+def _agg_solve(plan, ops, g: jax.Array, unroll=True) -> jax.Array:
     fac = BlockBandedCholesky(ops["agg_linv"], ops["agg_moff"], ops["agg_failed"])
-    return _sep_flat(plan, block_banded_solve(fac, _sep_band(plan, g)))
+    return _sep_flat(plan, block_banded_solve(fac, _sep_band(plan, g),
+                                              unroll=unroll))
 
 
-def _aii_solve(plan, ops, vb: jax.Array) -> jax.Array:
+def _aii_solve(plan, ops, vb: jax.Array, unroll=True) -> jax.Array:
+    """unroll: True for the hot apply (pipelined factor loads); the BUILD
+    path passes 1 — the solve sits inside Lanczos loop bodies there, and a
+    fully unrolled body multiplies the (remote) compile time."""
     fac = BlockBandedCholesky(ops["aii_linv"], ops["aii_moff"], ops["aii_failed"])
-    return block_banded_solve(fac, vb)
+    return block_banded_solve(fac, vb, unroll=unroll)
 
 
 def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
@@ -486,7 +490,7 @@ def build_scalable_lorasc(
             y1n = _to_node_major(y1)
             agg_v = _gather_sep(plan, ops, y1n)
             aig_v = _gather_int(plan, ops, y1n)
-            zi = _aii_solve(plan, ops, aig_v)
+            zi = _aii_solve(plan, ops, aig_v, unroll=1)
             y2 = stencil_bsr_spmm_t(
                 ops["a_stencil"], _from_node_major(_embed_int(plan, ops, zi))
             )
@@ -506,7 +510,7 @@ def build_scalable_lorasc(
             return b_apply_panel(v[:, None])[:, 0]
 
         def op_apply(v):
-            return _agg_solve(plan, ops, s_apply(v)[:, None])[:, 0]
+            return _agg_solve(plan, ops, s_apply(v)[:, None], unroll=1)[:, 0]
 
         if restarts > 0:
             from prealps_tpu.ops.lanczos import lanczos_thick_restart
