@@ -514,17 +514,32 @@ class DistributedECG:
                 b_pad.reshape(-1, self._br).T   # (br, nrb_tot)
             )
         res = self._solve_fn(jnp.asarray(b_pad), *self._operands)
+        # ONE packed device->host transfer for all scalars + history: each
+        # individual fetch is a full round trip through the remote-attach
+        # tunnel (~40-150 ms measured; the naive per-field fetches were the
+        # LARGEST component of the benchmark TTS, see docs/PERFORMANCE.md)
+        if not hasattr(self, "_pack_fn"):
+            def _pack(r):
+                head = jnp.stack([
+                    r.iters.astype(jnp.float32), r.res.astype(jnp.float32),
+                    r.normb.astype(jnp.float32), r.bs.astype(jnp.float32),
+                    r.breakdown.astype(jnp.float32),
+                ])
+                return jnp.concatenate([head, r.history.astype(jnp.float32)])
+
+            self._pack_fn = jax.jit(_pack)
+        packed = np.asarray(self._pack_fn(res))
         x_np = np.asarray(res.x)
         if lane_major:
             x_np = np.ascontiguousarray(x_np.T).reshape(-1)
         x = unpad_from_padded(self.layout, x_np)
         info = {
-            "iters": int(res.iters),
-            "res": float(res.res),
-            "normb": float(res.normb),
-            "bs": int(res.bs),
-            "breakdown": bool(res.breakdown),
-            "history": np.asarray(res.history),
+            "iters": int(packed[0]),
+            "res": float(packed[1]),
+            "normb": float(packed[2]),
+            "bs": int(packed[3]),
+            "breakdown": bool(packed[4]),
+            "history": packed[5:],
         }
         return x.astype(np.float64), info
 

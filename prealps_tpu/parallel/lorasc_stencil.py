@@ -148,7 +148,8 @@ class StencilLorascECG:
             b_eff.astype(dtype).reshape(self.nrb, self.br).T
         )
         state, normb = init(jnp.asarray(b_lane), self._m_ops)
-        tol_abs = opts.tol * float(normb)
+        normb_f = float(normb)
+        tol_abs = opts.tol * normb_f
         prev_it = -1
         while True:
             state, flags = step(state, normb, self._m_ops)
@@ -160,10 +161,12 @@ class StencilLorascECG:
                 break
             prev_it = it
         res = ecg_finalize(state, normb, opts.layout)
+        # scalars come from the already-fetched chunk flags — every extra
+        # device fetch is a tunnel round trip (docs/PERFORMANCE.md)
         x = np.ascontiguousarray(np.asarray(res.x).T).reshape(-1)
         info = {
-            "iters": int(res.iters), "res": float(res.res),
-            "normb": float(res.normb), "breakdown": bool(res.breakdown),
+            "iters": it, "res": float(res_now),
+            "normb": normb_f, "breakdown": bool(brk),
             "deflated": self.precond.deflated,
         }
         return x.astype(np.float64), info
