@@ -12,7 +12,21 @@ All functions are jittable and elementwise-vectorised.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _barrier(x):
+    """Pin a value against XLA excess-precision rewrites.
+
+    Error-free transforms REQUIRE the rounded f32 product/sum to exist: under
+    jit, XLA (xla_allow_excess_precision, on by default) fuses `a*b` into a
+    following add as a single-rounding FMA, which silently breaks two_prod /
+    Dekker split (measured: df accumulation degrades from ~1e-12 to ~1e-7,
+    i.e. back to plain f32). An optimization barrier on the product forces
+    the intermediate rounding. Negligible cost at df call sites (one extra
+    materialisation of an already-needed value)."""
+    return jax.lax.optimization_barrier(x)
 
 
 def two_sum(a, b):
@@ -25,14 +39,14 @@ def two_sum(a, b):
 
 def _split(a):
     """Dekker split: a = hi + lo with hi, lo having ≤12 significant bits."""
-    c = jnp.float32(4097.0) * a
+    c = _barrier(jnp.float32(4097.0) * a)
     hi = c - (c - a)
     return hi, a - hi
 
 
 def two_prod(a, b):
     """Error-free a*b: returns (p, err) with p+err == a*b exactly (f32)."""
-    p = a * b
+    p = _barrier(a * b)
     a_hi, a_lo = _split(a)
     b_hi, b_lo = _split(b)
     err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo

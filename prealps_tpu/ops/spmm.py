@@ -242,6 +242,68 @@ def stencil_scan_accumulate(blocks_t, offsets, x_ext, halo: int):
     return jnp.stack(y, axis=1)
 
 
+def stencil_scan_accumulate_df(blocks_t, offsets, x_ext, halo: int):
+    """Lane-major stencil SpMM in double-float: returns (y_hi, y_lo).
+
+    Same contraction as stencil_scan_accumulate, but every product is an
+    error-free two_prod and every accumulation a compensated two_sum, so the
+    pair (y_hi, y_lo) carries ~49 effective mantissa bits. Used for the
+    on-device iterative-refinement residual (parallel/driver.py), where a
+    plain f32 SpMM's O(eps·Σ|a||x|) rounding floor (~1e-5 relative) would
+    cap the attainable tolerance. ~10× the flops of the f32 kernel, run
+    once per refinement round — negligible next to the inner solve.
+    """
+    from prealps_tpu.ops.doublefloat import two_prod, two_sum
+
+    s_max, br, _, nrb = blocks_t.shape
+    t = x_ext.shape[0]
+    xsh = jnp.stack([
+        jax.lax.slice_in_dim(x_ext, halo + off, halo + off + nrb, axis=2)
+        for off in offsets
+    ])  # (S, t, br, nrb)
+
+    def step(carry, inp):
+        hi, lo = carry
+        blk, xs = inp  # (br, br, nrb), (t, br, nrb)
+        new_h, new_l = [], []
+        for m in range(br):
+            h, l = hi[m], lo[m]
+            for k in range(br):
+                p, e = two_prod(blk[m, k][None, :], xs[:, k, :])
+                h, e1 = two_sum(h, p)
+                l = l + (e1 + e)
+            new_h.append(h)
+            new_l.append(l)
+        return (tuple(new_h), tuple(new_l)), None
+
+    z = tuple(jnp.zeros((t, nrb), x_ext.dtype) for _ in range(br))
+    (hi, lo), _ = jax.lax.scan(step, (z, z), (blocks_t, xsh))
+    return jnp.stack(hi, axis=1), jnp.stack(lo, axis=1)
+
+
+def ell_gather_spmm_df(vals: jax.Array, gathered: jax.Array):
+    """einsum('ml,mlt->mt') in double-float: returns (y_hi, y_lo).
+
+    vals: (m, L) ELL values; gathered: (m, L, t) pre-gathered x rows.
+    Compensated L-axis reduction via lax.scan (see
+    stencil_scan_accumulate_df for why).
+    """
+    from prealps_tpu.ops.doublefloat import two_prod, two_sum
+
+    p, e = two_prod(vals[:, :, None], gathered)  # (m, L, t)
+
+    def step(carry, inp):
+        h, l = carry
+        pj, ej = inp
+        h, e1 = two_sum(h, pj)
+        return (h, l + (e1 + ej)), None
+
+    z = jnp.zeros((p.shape[0], p.shape[2]), p.dtype)
+    (hi, lo), _ = jax.lax.scan(
+        step, (z, z), (jnp.moveaxis(p, 1, 0), jnp.moveaxis(e, 1, 0)))
+    return hi, lo
+
+
 def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
     """Lane-major stencil SpMM: xt (t, br, nrb) -> yt (t, br, nrb).
 

@@ -36,7 +36,7 @@ from prealps_tpu.core.scaling import sym_rac_scaling
 from prealps_tpu.ops.formats import csr_to_ell
 from prealps_tpu.precond.block_jacobi import BlockJacobi, build_block_jacobi
 from prealps_tpu.parallel.mesh import make_mesh
-from prealps_tpu.solvers.ecg import ECGOptions, ecg_solve
+from prealps_tpu.solvers.ecg import ECGOptions, ECGResult, ecg_solve
 
 AXIS = "shards"
 
@@ -87,6 +87,7 @@ class DistributedECG:
     _operands: tuple
     target_tol: float = 0.0
     a_scaled: Optional[sp.csr_matrix] = None  # for refinement residuals
+    _refine_fn: object = None   # device-side refinement loop (see solve())
 
     @classmethod
     def build(
@@ -297,8 +298,11 @@ class DistributedECG:
                 f"DistributedECG supports block_jacobi/chebyshev/none, got {precond!r}"
             )
 
-        def local_solve(b_loc, mat_ops, bj_ops):
-            def a_apply(x_loc):
+        def make_local_ops(mat_ops, bj_ops):
+            def a_apply(x_loc, df=False):
+                if df and not (fmt == "ell" or (fmt == "stencil" and lane_major)):
+                    raise NotImplementedError(
+                        "double-float A-apply exists only for stencil(tbn)/ell")
                 # round-1 halo strategy: gather the whole X panel over ICI,
                 # then local SpMM on this shard's rows
                 if lane_major:
@@ -333,8 +337,15 @@ class DistributedECG:
                         sidx = jax.lax.axis_index(AXIS)
                         x_all = jnp.roll(x_all, halo - sidx * nrb_loc, axis=2)
                         x_ext = x_all[:, :, : nrb_loc + 2 * halo]
-                    from prealps_tpu.ops.spmm import stencil_scan_accumulate
+                    from prealps_tpu.ops.spmm import (
+                        stencil_scan_accumulate,
+                        stencil_scan_accumulate_df,
+                    )
 
+                    if df:
+                        return stencil_scan_accumulate_df(
+                            blocks_t_loc, stencil_offsets, x_ext, halo
+                        )
                     return stencil_scan_accumulate(
                         blocks_t_loc, stencil_offsets, x_ext, halo
                     )
@@ -405,6 +416,10 @@ class DistributedECG:
                         [x_loc, x_recv.reshape(nshards * halo_h, -1)], axis=0
                     )
                     gathered = x_ext[cols_loc]               # (m_loc, L, t)
+                    if df:
+                        from prealps_tpu.ops.spmm import ell_gather_spmm_df
+
+                        return ell_gather_spmm_df(vals_loc, gathered)
                     return jnp.einsum("ml,mlt->mt", vals_loc, gathered,
                                       precision=jax.lax.Precision.HIGHEST)
                 x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
@@ -429,6 +444,10 @@ class DistributedECG:
                 if fmt == "ell":
                     vals_loc, cols_loc = mat_ops
                     gathered = x_full[cols_loc]  # (m_loc, L, t)
+                    if df:
+                        from prealps_tpu.ops.spmm import ell_gather_spmm_df
+
+                        return ell_gather_spmm_df(vals_loc, gathered)
                     return jnp.einsum("ml,mlt->mt", vals_loc, gathered,
                                       precision=jax.lax.Precision.HIGHEST)
                 blocks_loc, blkcols_loc = mat_ops
@@ -465,7 +484,9 @@ class DistributedECG:
                     )
             else:
                 m_apply = None
+            return a_apply, m_apply
 
+        def make_split_assign():
             # rhs split: contiguous global split into t chunks
             s_idx = jax.lax.axis_index(AXIS)
             if lane_major:
@@ -476,8 +497,94 @@ class DistributedECG:
             else:
                 gpos = s_idx * mpl + jnp.arange(mpl)
                 assign = ((gpos * opts.t) // n_pad).astype(jnp.int32)
+            return assign
+
+        def local_solve(b_loc, mat_ops, bj_ops):
+            a_apply, m_apply = make_local_ops(mat_ops, bj_ops)
             return ecg_solve(a_apply, m_apply, b_loc, opts,
-                             axis_name=AXIS, split_assign=assign)
+                             axis_name=AXIS, split_assign=make_split_assign())
+
+        max_refine_rounds = 8
+
+        def local_refine(b2_loc, mat_ops, bj_ops):
+            """Mixed-precision iterative refinement run ENTIRELY on device.
+
+            The host loop in solve() costs two large tunnel transfers per
+            round (push r, pull dx), each 60-600 ms through the remote-attach
+            tunnel (docs/PERFORMANCE.md). Here the loop stays on device and
+            the host sees ONE packed fetch + ONE x fetch per solve.
+
+            The residual is computed in DOUBLE-FLOAT (ops/doublefloat.py):
+            b and x are carried as (hi, lo) f32 pairs and the A·x_hi product
+            uses the compensated SpMM (stencil_scan_accumulate_df /
+            ell_gather_spmm_df), so the residual carries ~49 mantissa bits —
+            on TPU this matches the host-f64 loop's attainable tolerance
+            (verified: XLA:TPU does not contract a*b+c into fma, so the
+            error-free transforms hold; XLA:CPU does contract, degrading df
+            to ~10× better than f32 — the host solve() path detects the
+            shortfall via its f64 cross-check and finishes with host rounds).
+
+            Each while_loop body runs an inner ECG solve then re-evaluates
+            the residual; stop rules mirror the host loop (target hit /
+            <10% progress / breakdown / round cap).
+            """
+            from prealps_tpu.ops.doublefloat import df_add
+
+            a_apply, m_apply = make_local_ops(mat_ops, bj_ops)
+            assign = make_split_assign()
+            b_hi, b_lo = b2_loc[0], b2_loc[1]
+
+            if lane_major:
+                expand = lambda v: v[None]          # (br, nrb) -> (1, br, nrb)
+                squeeze = lambda p: p[0]
+            else:
+                expand = lambda v: v[:, None]       # (mpl,) -> (mpl, 1)
+                squeeze = lambda p: p[:, 0]
+
+            def gnorm(v):
+                return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), AXIS))
+
+            def resid(xh, xl):
+                # r = (b_hi + b_lo) - A·xh [df] - A·xl [f32]
+                yh, yl = a_apply(expand(xh), df=True)
+                yh, yl = squeeze(yh), squeeze(yl)
+                y2 = squeeze(a_apply(expand(xl)))
+                rh, rl = df_add((b_hi, b_lo), (-yh, -yl))
+                rh, rl = df_add((rh, rl), (-y2, jnp.zeros_like(y2)))
+                return rh, rl
+
+            normb = gnorm(b_hi)
+            tol_s = jnp.asarray(target_tol, b_hi.dtype)
+
+            def cond(st):
+                return (st[5] < max_refine_rounds) & ~st[6]
+
+            def body(st):
+                xh, xl, r, relres, it_tot, rounds, _, _, _, _ = st
+                res = ecg_solve(a_apply, m_apply, r, opts,
+                                axis_name=AXIS, split_assign=assign)
+                xh2, xl2 = df_add((xh, xl), (res.x, jnp.zeros_like(res.x)))
+                rh, rl = resid(xh2, xl2)
+                relres2 = gnorm(rh) / normb
+                stop2 = (
+                    (relres2 <= tol_s) | (relres2 > 0.9 * relres)
+                    | jnp.isnan(relres2) | res.breakdown
+                )
+                return (xh2, xl2, rh, relres2, it_tot + res.iters,
+                        rounds + jnp.int32(1), stop2, res.breakdown,
+                        res.bs, res.history)
+
+            relres0 = jnp.asarray(1.0, b_hi.dtype)
+            init = (jnp.zeros_like(b_hi), jnp.zeros_like(b_hi), b_hi, relres0,
+                    jnp.int32(0), jnp.int32(0), relres0 <= tol_s,
+                    jnp.bool_(False), jnp.int32(opts.t),
+                    jnp.full((opts.maxiter,), -1.0, b_hi.dtype))
+            xh, xl, _, relres, it_tot, rounds, _, brk, bs, hist = (
+                jax.lax.while_loop(cond, body, init))
+            out = ECGResult(x=jnp.stack([xh, xl]), iters=it_tot,
+                            res=relres * normb, normb=normb, bs=bs,
+                            breakdown=brk, history=hist)
+            return out, rounds
 
         b_spec = P(None, AXIS) if lane_major else P(AXIS)
         in_specs = (b_spec, mat_specs, bj_specs)
@@ -493,11 +600,26 @@ class DistributedECG:
                 check_vma=False,
             )
         )
+        refine_fn = None
+        df_ok = fmt == "ell" or (fmt == "stencil" and lane_major)
+        if refine and df_ok and np.dtype(dtype) == np.float32:
+            # b and x travel as stacked (hi, lo) double-float pairs
+            b2_spec = P(None, *b_spec)
+            refine_fn = jax.jit(
+                _shard_map(
+                    local_refine,
+                    mesh=mesh,
+                    in_specs=(b2_spec, mat_specs, bj_specs),
+                    out_specs=(out_specs._replace(x=b2_spec), P()),
+                    check_vma=False,
+                )
+            )
         operands = (mat_operands, bj_operands)
         obj = cls(
             layout=layout, opts=opts, mesh=mesh, scale_d=scale_d,
             _solve_fn=fn, _operands=operands,
             target_tol=target_tol, a_scaled=a if refine else None,
+            _refine_fn=refine_fn,
         )
         obj._lane_major = lane_major
         obj._br = br
@@ -543,19 +665,79 @@ class DistributedECG:
         }
         return x.astype(np.float64), info
 
+    def _solve_refined_device(self, b_eff: np.ndarray):
+        """Device-resident refinement: one dispatch, one packed fetch, one x.
+
+        b is pushed as a stacked (hi, lo) double-float pair and x comes back
+        the same way, so no f64 information is lost crossing the f32 device
+        boundary (local_refine docstring has the precision story)."""
+        b_pad = pad_to_padded(self.layout, b_eff)            # f64
+        lane_major = getattr(self, "_lane_major", False)
+        if lane_major:
+            b_pad = np.ascontiguousarray(b_pad.reshape(-1, self._br).T)
+        b_hi = b_pad.astype(np.float32)
+        b_lo = (b_pad - b_hi.astype(np.float64)).astype(np.float32)
+        res, rounds = self._refine_fn(
+            jnp.asarray(np.stack([b_hi, b_lo])), *self._operands)
+        if not hasattr(self, "_packr_fn"):
+            def _packr(r, rds):
+                head = jnp.stack([
+                    r.iters.astype(jnp.float32), r.res.astype(jnp.float32),
+                    r.normb.astype(jnp.float32), r.bs.astype(jnp.float32),
+                    r.breakdown.astype(jnp.float32), rds.astype(jnp.float32),
+                ])
+                return jnp.concatenate([head, r.history.astype(jnp.float32)])
+
+            self._packr_fn = jax.jit(_packr)
+        packed = np.asarray(self._packr_fn(res, rounds))
+        x2 = np.asarray(res.x)                               # (2, ...)
+        x_np = x2[0].astype(np.float64) + x2[1].astype(np.float64)
+        if lane_major:
+            x_np = np.ascontiguousarray(x_np.T).reshape(-1)
+        x = unpad_from_padded(self.layout, x_np)
+        info = {
+            "iters": int(packed[0]),
+            "res": float(packed[1]),
+            "normb": float(packed[2]),
+            "bs": int(packed[3]),
+            "breakdown": bool(packed[4]),
+            "refine_rounds": int(packed[5]),
+            "history": packed[6:],
+        }
+        # host f64 cross-check of the device-side df residual claim
+        r = b_eff - self.a_scaled @ x
+        info["res"] = float(np.linalg.norm(r))
+        info["relres_scaled"] = float(info["res"] / np.linalg.norm(b_eff))
+        return x, info
+
     def solve(self, b: np.ndarray, max_refine_rounds: int = 8):
         """Solve A x = b (original ordering/scaling). Returns (x, info)."""
+        import os
+
         b = np.asarray(b)
         b_eff = self.scale_d * b if self.scale_d is not None else b.astype(np.float64)
 
         if self.a_scaled is None:
             x, info = self._solve_scaled_once(b_eff)
         else:
+            x0, info0 = None, None
+            if (self._refine_fn is not None
+                    and not bool(int(os.environ.get("PREALPS_HOST_REFINE", "0")))):
+                x0, info0 = self._solve_refined_device(b_eff)
+                if (info0["relres_scaled"] <= self.target_tol
+                        or info0["breakdown"]):
+                    if self.scale_d is not None:
+                        x0 = self.scale_d * x0
+                    return x0, info0
+                # device loop hit its residual floor above target (XLA:CPU
+                # contracts a*b+c to fma, degrading the df transforms —
+                # local_refine docstring): polish with host-f64 rounds.
             # mixed-precision iterative refinement on the scaled system
             a = self.a_scaled
             normb = np.linalg.norm(b_eff)
-            x = np.zeros_like(b_eff)
-            total_iters, rounds = 0, 0
+            x = np.zeros_like(b_eff) if x0 is None else x0
+            total_iters = 0 if info0 is None else info0["iters"]
+            rounds = 0 if info0 is None else info0["refine_rounds"]
             info = {}
             prev_relres = np.inf
             for _ in range(max_refine_rounds):

@@ -448,3 +448,41 @@ class TestDiaDistributed:
         x, info = solver.solve(b)
         x_ref = spla.spsolve(sp.csc_matrix(a), b)
         assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-7
+
+
+class TestDeviceRefinement:
+    """Mixed-precision refinement with the loop resident on device.
+
+    The device path (lax.while_loop over inner ECG solves, f32 residuals)
+    must match the host path (f64 residuals, per-round transfers) on both
+    the reached tolerance and the round/iteration structure — the host loop
+    is the reference semantics (reference: f64-native MKL solves; SURVEY §5
+    precision adaptations).
+    """
+
+    def _build(self, a, fmt, **kw):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused",
+                          layout="tbn" if fmt == "stencil" else "nt")
+        return DistributedECG.build(
+            a, nshards=8, opts=opts, dtype=np.float32, fmt=fmt,
+            inner_tol=1e-3, **kw)
+
+    @pytest.mark.parametrize("fmt", ["ell", "stencil"])
+    def test_device_refine_converges(self, ela_small, ela_b, fmt, monkeypatch):
+        kw = dict(br=3) if fmt == "stencil" else {}
+        solver = self._build(ela_small, fmt, **kw)
+        assert solver._refine_fn is not None
+        x, info = solver.solve(ela_b)
+        assert info["refine_rounds"] >= 1
+        assert _relres(ela_small, x, ela_b) < 5e-5  # t-split slack over 1e-6
+        # device loop must agree with the host reference loop
+        monkeypatch.setenv("PREALPS_HOST_REFINE", "1")
+        xh, infoh = solver.solve(ela_b)
+        assert abs(info["refine_rounds"] - infoh["refine_rounds"]) <= 1
+        assert np.linalg.norm(x - xh) / np.linalg.norm(xh) < 1e-3
+
+    def test_refine_off_when_f64(self, ela_small):
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000)
+        solver = DistributedECG.build(ela_small, nshards=8, opts=opts,
+                                      dtype=np.float64)
+        assert solver._refine_fn is None
