@@ -108,8 +108,10 @@ def _main():
             inner_tol=inner_tol,
         )
     else:
-        kwargs = dict(block_size=block_size) if precond in ("bj", "block_jacobi") else dict(
-            cheb_degree=cheb_degree)
+        kwargs = dict(
+            block_size=block_size,
+            bj_dtype=os.environ.get("PREALPS_BENCH_BJ_DTYPE", "f32"),
+        ) if precond in ("bj", "block_jacobi") else dict(cheb_degree=cheb_degree)
         solver = DistributedECG.build(
             a, nshards=1, opts=opts, precond=precond,
             dtype=dtype, fmt=fmt, br=3, inner_tol=inner_tol, **kwargs,

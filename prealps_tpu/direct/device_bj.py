@@ -16,8 +16,11 @@ panel layout, so the apply is one batched einsum with NO gathers/permutes:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -77,15 +80,96 @@ def batched_spd_inverse(dense5: jax.Array, method: str = "chol") -> jax.Array:
 
 
 def bj_apply_lane_major(inv5: jax.Array, z: jax.Array) -> jax.Array:
-    """z: (t, br, nrb) -> (t, br, nrb) with nrb = nb*mbn."""
+    """z: (t, br, nrb) -> (t, br, nrb) with nrb = nb*mbn.
+
+    bf16-stored inverses run native bf16 MXU passes with f32 accumulation
+    (measured vs 1.51 ms f32 at n=148k/mb=1008: the apply is HBM bound on
+    the inverse blocks, so halving their bytes nearly halves the time). The
+    0.3% matrix rounding is a FIXED SPD perturbation — preconditioner
+    quality unchanged. The INPUT must not be rounded the same way: a bare
+    z→bf16 cast makes the effective M nonlinear at ~4e-3, which breaks the
+    ECG orthogonalisation recurrences (measured 7× iteration blow-up).
+    Instead z is split into two bf16 pieces stacked on the t axis — B is
+    read ONCE, compute doubles (still MXU-cheap), and M̃ stays linear to
+    ~1e-6. Contrast: bf16 banded FACTORS stay rejected (triangular
+    substitution compounds the rounding, docs/PERFORMANCE.md)."""
     nb, br, mbn, _, _ = inv5.shape
     t = z.shape[0]
     zb = z.reshape(t, br, nb, mbn).transpose(0, 2, 1, 3)       # (t, nb, br, mbn)
-    w = jnp.einsum("bmrks,tbks->tbmr", inv5, zb, precision=HIGHEST)
-    return w.transpose(0, 2, 1, 3).reshape(t, br, nb * mbn)
+    if inv5.dtype == jnp.bfloat16:
+        zh = zb.astype(jnp.bfloat16)
+        zl = (zb - zh.astype(zb.dtype)).astype(jnp.bfloat16)
+        z2 = jnp.concatenate([zh, zl], axis=0)                 # (2t, nb, br, mbn)
+        w2 = jnp.einsum("bmrks,tbks->tbmr", inv5, z2,
+                        preferred_element_type=jnp.float32)
+        w = w2[:t] + w2[t:]
+    else:
+        w = jnp.einsum("bmrks,tbks->tbmr", inv5, zb, precision=HIGHEST)
+    return w.transpose(0, 2, 1, 3).reshape(t, br, nb * mbn).astype(z.dtype)
 
 
 def build_device_block_jacobi(blocks_t, offsets, mbn: int, method: str = "chol"):
     """Stencil -> explicit block inverses, entirely on device."""
     dense = dense_blocks_from_stencil(blocks_t, offsets, mbn)
     return batched_spd_inverse(dense, method)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BJ apply: stream the inverse blocks through a BlockSpec pipeline
+# ---------------------------------------------------------------------------
+
+def pack_bj_dense(inv5: jax.Array) -> jax.Array:
+    """(nb, br, mbn, br, mbn) -> (nb, mbp, mbp) with mbp = mb rounded to 128.
+
+    One-time build step for bj_apply_pallas; zero padding is exact (padded z
+    rows are zero)."""
+    nb, br, mbn, _, _ = inv5.shape
+    mb = br * mbn
+    mbp = -(-mb // 128) * 128
+    b2 = inv5.reshape(nb, mb, mb)
+    return jnp.pad(b2, ((0, 0), (0, mbp - mb), (0, mbp - mb)))
+
+
+def _bj_pallas_kernel(b_ref, z_ref, o_ref):
+    o_ref[0] = jnp.dot(b_ref[0], z_ref[0],
+                       preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("br", "interpret"))
+def bj_apply_pallas(b2: jax.Array, z: jax.Array, br: int,
+                    interpret: bool = False) -> jax.Array:
+    """Block-Jacobi apply from pre-packed dense inverses via Pallas.
+
+    b2: (nb, mbp, mbp) from pack_bj_dense; z: (t, br, nrb) lane-major.
+    The XLA einsum runs the 600 MB inverse read at ~405 GB/s (1.51 ms at
+    n=148k); this kernel streams (128, mbp) row tiles straight into
+    (128, mbp)·(mbp, t) MXU dots — the skinny t panel stays VMEM-resident.
+    """
+    nb, mbp, _ = b2.shape
+    t = z.shape[0]
+    nrb = z.shape[2]
+    mbn = nrb // nb
+    mb = br * mbn
+    # (t, br, nrb) -> (nb, mbp, t); row index inside a block is m*mbn + s
+    zb = z.reshape(t, br, nb, mbn).transpose(2, 1, 3, 0).reshape(nb, mb, t)
+    if mbp != mb:
+        zb = jnp.pad(zb, ((0, 0), (0, mbp - mb), (0, 0)))
+    rows = mbp // 128
+    out = pl.pallas_call(
+        _bj_pallas_kernel,
+        grid=(nb, rows),
+        in_specs=[
+            pl.BlockSpec((1, 128, mbp), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, mbp, t), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 128, t), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, mbp, t), z.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * mbp * mbp * t,
+            bytes_accessed=b2.size * 4 + 2 * z.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(b2, zb)
+    w = out[:, :mb, :].reshape(nb, br, mbn, t).transpose(3, 1, 0, 2)
+    return w.reshape(t, br, nrb)

@@ -486,3 +486,20 @@ class TestDeviceRefinement:
         solver = DistributedECG.build(ela_small, nshards=8, opts=opts,
                                       dtype=np.float64)
         assert solver._refine_fn is None
+
+
+class TestBf16BlockJacobi:
+    def test_bf16_bj_iteration_count(self, ela_small, ela_b):
+        """bf16-stored BJ inverses perturb M by ~0.3% — iteration count must
+        stay within ~30% of the f32 build (explicit-inverse GEMM: one-shot
+        rounding, no compounding)."""
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=2000, variant="odir_fused",
+                          layout="tbn")
+        common = dict(nshards=8, opts=opts, dtype=np.float32, fmt="stencil",
+                      br=3, inner_tol=1e-3, block_size=24)
+        s32 = DistributedECG.build(ela_small, **common)
+        sbf = DistributedECG.build(ela_small, bj_dtype="bf16", **common)
+        x32, i32 = s32.solve(ela_b)
+        xbf, ibf = sbf.solve(ela_b)
+        assert _relres(ela_small, xbf, ela_b) < 5e-5
+        assert ibf["iters"] <= max(int(1.3 * i32["iters"]), i32["iters"] + 12)
