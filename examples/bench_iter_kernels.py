@@ -120,6 +120,17 @@ def main():
     timed_chain(lambda v, iv: bj_apply_lane_major(iv, v), "bj_apply f32",
                 flops=bj_flops, bytes_=bj_bytes, ops=(inv5,))
 
+    from prealps_tpu.direct.device_bj import bj_apply_pallas, pack_bj_dense
+
+    b2 = jax.jit(pack_bj_dense)(inv5)
+    b2.block_until_ready()
+    rts = [int(x) for x in
+           os.environ.get("PREALPS_PROBE_BJ_RT", "128").split(",")]
+    for rt in rts:
+        timed_chain(lambda v, bb, rt=rt: bj_apply_pallas(bb, v, br=br, rt=rt),
+                    f"bj_apply pallas rt{rt}", flops=bj_flops,
+                    bytes_=b2.size * 4 + 2 * z0.size * 4, ops=(b2,))
+
     inv5_bf = inv5.astype(jnp.bfloat16)
 
     def bj_bf16(v, iv):

@@ -65,7 +65,8 @@ def _padded_perm_offsets(part: np.ndarray, nshards: int, row_multiple: int = 8):
     return perm_grouped, offsets, rows_per_shard
 
 
-def build_row_layout(a: sp.spmatrix, nshards: int, refine_passes: int = 8) -> RowLayout:
+def build_row_layout(a: sp.spmatrix, nshards: int, refine_passes: int = 8,
+                     row_multiple: int = 8) -> RowLayout:
     """Partition A's rows into nshards balanced parts and build the layout."""
     a = sp.csr_matrix(a)
     n = a.shape[0]
@@ -73,13 +74,15 @@ def build_row_layout(a: sp.spmatrix, nshards: int, refine_passes: int = 8) -> Ro
         part = np.zeros(n, dtype=np.int64)
     else:
         part = kway_partition(a, nshards, refine_passes)
-    return layout_from_part(a, part, nshards)
+    return layout_from_part(a, part, nshards, row_multiple=row_multiple)
 
 
-def layout_from_part(a: sp.spmatrix, part: np.ndarray, nshards: int) -> RowLayout:
+def layout_from_part(a: sp.spmatrix, part: np.ndarray, nshards: int,
+                     row_multiple: int = 8) -> RowLayout:
     a = sp.csr_matrix(a)
     n = a.shape[0]
-    perm_grouped, offsets, rows_per_shard = _padded_perm_offsets(part, nshards)
+    perm_grouped, offsets, rows_per_shard = _padded_perm_offsets(
+        part, nshards, row_multiple)
     n_pad = rows_per_shard * nshards
 
     inv = np.empty(n, dtype=np.int64)
@@ -255,3 +258,86 @@ def build_halo_plan(
         cols_local[rows] = out.astype(np.int32)
     return HaloPlan(h=h, send_idx=send_idx, cols_local=cols_local,
                     comm_rows=comm_rows)
+
+
+@dataclass(frozen=True)
+class BlockHaloPlan:
+    """Static neighbor-exchange schedule for the distributed block-ELL SpMM.
+
+    Same contract as HaloPlan but at bk-column-block granularity (the
+    block-ELL gather unit): each shard packs exactly the bk-row X blocks its
+    neighbors reference, one all_to_all moves the packs, and blkcols are
+    pre-remapped into [own blocks ∥ halo buffer] block coordinates — comm
+    volume ∝ cut column-blocks instead of the full panel (reference:
+    utils/cplm_v0/cplm_v0_matmult_v2.c dep-list ISend/Irecv at sub-CSR
+    granularity; deps from cplm_v0_matcsr.c:234 GetCommDep).
+    """
+
+    hb: int                     # blocks per (src, dst) slot (max over pairs)
+    send_idx: np.ndarray        # (S, S, hb) int32: local blocks s packs for d
+    blkcols_local: np.ndarray   # (nrb, s_max) int32 in local+halo block space
+    comm_blocks: int            # true (unpadded) total blocks exchanged
+
+
+def build_block_halo_plan(
+    layout: RowLayout, blkcols: np.ndarray, blocks: np.ndarray, bk: int
+) -> BlockHaloPlan:
+    """Derive the block-granular exchange schedule from block-ELL structure.
+
+    blkcols: (nrb, s_max) global bk-column-block ids; blocks: matching value
+    blocks (all-zero blocks mark padding slots, excluded from the scan).
+    Requires rows_per_shard % bk == 0 so no X block straddles two shards.
+    """
+    s_n = layout.nshards
+    mpl = layout.rows_per_shard
+    if mpl % bk:
+        raise ValueError(f"rows_per_shard={mpl} not a multiple of bk={bk}")
+    nblk_loc = mpl // bk
+    nrb_tot, s_max = blkcols.shape
+    nrb_loc = nrb_tot // s_n
+    used = np.asarray(blocks).reshape(nrb_tot, s_max, -1).any(axis=2)
+    owner_of = blkcols // nblk_loc
+
+    needed = [[None] * s_n for _ in range(s_n)]
+    hb = 1
+    comm_blocks = 0
+    for s in range(s_n):
+        rows = slice(s * nrb_loc, (s + 1) * nrb_loc)
+        cb_s = blkcols[rows][used[rows]]
+        own = owner_of[rows][used[rows]]
+        for q in range(s_n):
+            if q == s:
+                continue
+            cq = np.unique(cb_s[own == q])
+            needed[s][q] = cq
+            hb = max(hb, cq.size)
+            comm_blocks += cq.size
+
+    send_idx = np.zeros((s_n, s_n, hb), dtype=np.int32)
+    for q in range(s_n):
+        for s in range(s_n):
+            if q == s:
+                continue
+            cq = needed[s][q]
+            send_idx[q, s, : cq.size] = (cq - q * nblk_loc).astype(np.int32)
+
+    blkcols_local = np.zeros_like(blkcols, dtype=np.int32)
+    for s in range(s_n):
+        rows = slice(s * nrb_loc, (s + 1) * nrb_loc)
+        c = blkcols[rows]
+        o = c // nblk_loc
+        out = np.where(o == s, c - s * nblk_loc, 0).astype(np.int64)
+        for q in range(s_n):
+            if q == s:
+                continue
+            cq = needed[s][q]
+            sel = o == q
+            if cq.size and np.any(sel):
+                pos = np.searchsorted(cq, c[sel])
+                out[sel] = nblk_loc + q * hb + pos
+            elif np.any(sel):  # only padding slots can point off-shard unused
+                out[sel] = 0
+        blkcols_local[rows] = out.astype(np.int32)
+    return BlockHaloPlan(hb=hb, send_idx=send_idx,
+                         blkcols_local=blkcols_local,
+                         comm_blocks=comm_blocks)

@@ -135,9 +135,9 @@ def _bj_pallas_kernel(b_ref, z_ref, o_ref):
                        preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("br", "interpret"))
+@functools.partial(jax.jit, static_argnames=("br", "interpret", "rt"))
 def bj_apply_pallas(b2: jax.Array, z: jax.Array, br: int,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False, rt: int = 128) -> jax.Array:
     """Block-Jacobi apply from pre-packed dense inverses via Pallas.
 
     b2: (nb, mbp, mbp) from pack_bj_dense; z: (t, br, nrb) lane-major.
@@ -154,15 +154,16 @@ def bj_apply_pallas(b2: jax.Array, z: jax.Array, br: int,
     zb = z.reshape(t, br, nb, mbn).transpose(2, 1, 3, 0).reshape(nb, mb, t)
     if mbp != mb:
         zb = jnp.pad(zb, ((0, 0), (0, mbp - mb), (0, 0)))
-    rows = mbp // 128
+    rt = min(rt, mbp)
+    rows = mbp // rt
     out = pl.pallas_call(
         _bj_pallas_kernel,
         grid=(nb, rows),
         in_specs=[
-            pl.BlockSpec((1, 128, mbp), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, rt, mbp), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, mbp, t), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 128, t), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, rt, t), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((nb, mbp, t), z.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * mbp * mbp * t,

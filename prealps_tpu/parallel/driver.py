@@ -153,7 +153,10 @@ class DistributedECG:
                     a.shape[0], nshards, row_multiple=mult
                 )
             else:
-                layout = build_row_layout(a, nshards)
+                # block-ELL halo exchange moves whole bk=128 column blocks;
+                # shard boundaries must not straddle a block
+                bell_mult = 128 if fmt in ("block_ell", "block_ell_xla") else 8
+                layout = build_row_layout(a, nshards, row_multiple=bell_mult)
         a_pad = permute_and_pad_matrix(a, layout)
 
         n_pad = layout.n_pad
@@ -245,10 +248,30 @@ class DistributedECG:
         elif fmt in ("block_ell", "block_ell_xla"):
             bell = csr_to_block_ell(a_pad, bm=8, bk=128, dtype=dtype)
             assert bell.shape[0] == n_pad, "row padding must already align to 8"
-            mat_operands = (bell.blocks, bell.blkcols)
-            mat_specs = (P(AXIS, None, None, None), P(AXIS, None))
             ncols_pad = bell.shape[1]
             interpret = jax.devices()[0].platform != "tpu"
+            if nshards > 1:
+                # dep-based halo at bk-block granularity: exchange only the
+                # 128-row X blocks neighbors reference (comm ∝ cut blocks;
+                # reference: cplm_v0_matmult_v2.c dep-list ISend/Irecv)
+                from prealps_tpu.core.layout import build_block_halo_plan
+
+                assert ncols_pad == n_pad  # mpl % 128 == 0 guarantees this
+                halo_plan = build_block_halo_plan(
+                    layout, np.asarray(bell.blkcols),
+                    np.asarray(bell.blocks), bk=128,
+                )
+                halo_h = halo_plan.hb
+                mat_operands = (
+                    bell.blocks,
+                    jnp.asarray(halo_plan.blkcols_local),
+                    jnp.asarray(halo_plan.send_idx),
+                )
+                mat_specs = (P(AXIS, None, None, None), P(AXIS, None),
+                             P(AXIS, None, None))
+            else:
+                mat_operands = (bell.blocks, bell.blkcols)
+                mat_specs = (P(AXIS, None, None, None), P(AXIS, None))
         else:
             raise ValueError(f"unknown fmt {fmt!r}")
 
@@ -425,6 +448,32 @@ class DistributedECG:
                         return ell_gather_spmm_df(vals_loc, gathered)
                     return jnp.einsum("ml,mlt->mt", vals_loc, gathered,
                                       precision=jax.lax.Precision.HIGHEST)
+                if fmt in ("block_ell", "block_ell_xla") and nshards > 1:
+                    # dep-based halo at 128-row-block granularity: pack the
+                    # X blocks each neighbor references, ONE all_to_all, then
+                    # the local block-ELL gathers from [own ∥ halo] block
+                    # space (blkcols pre-remapped host-side)
+                    blocks_loc, blkcols_loc, send_loc = mat_ops
+                    t_cols = x_loc.shape[1]
+                    xb = x_loc.reshape(mpl // 128, 128, t_cols)
+                    x_send = xb[send_loc[0]]                 # (S, Hb, 128, t)
+                    x_recv = jax.lax.all_to_all(
+                        x_send, AXIS, split_axis=0, concat_axis=0, tiled=True
+                    )
+                    xb_ext = jnp.concatenate(
+                        [xb, x_recv.reshape(nshards * halo_h, 128, t_cols)],
+                        axis=0,
+                    )
+                    ncols_ext = xb_ext.shape[0] * 128
+                    x_ext = xb_ext.reshape(ncols_ext, t_cols)
+                    local = BlockEllMatrix(
+                        blocks_loc, blkcols_loc, (mpl, ncols_ext))
+                    if fmt == "block_ell":
+                        return block_ell_spmm_pallas(
+                            local, x_ext, rb_per_prog=rb_per_prog,
+                            interpret=interpret,
+                        )
+                    return block_ell_spmm(local, x_ext)
                 x_full = jax.lax.all_gather(x_loc, AXIS, axis=0, tiled=True)
                 if fmt == "stencil":
                     (blocks_loc,) = mat_ops
@@ -643,6 +692,7 @@ class DistributedECG:
         # individual fetch is a full round trip through the remote-attach
         # tunnel (~40-150 ms measured; the naive per-field fetches were the
         # LARGEST component of the benchmark TTS, see docs/PERFORMANCE.md)
+        fuse_x = res.x.dtype == jnp.float32  # f64 x must not round-trip f32
         if not hasattr(self, "_pack_fn"):
             def _pack(r):
                 head = jnp.stack([
@@ -650,11 +700,20 @@ class DistributedECG:
                     r.normb.astype(jnp.float32), r.bs.astype(jnp.float32),
                     r.breakdown.astype(jnp.float32),
                 ])
-                return jnp.concatenate([head, r.history.astype(jnp.float32)])
+                parts = [head, r.history.astype(jnp.float32)]
+                if fuse_x:
+                    parts.append(r.x.reshape(-1))
+                return jnp.concatenate(parts)
 
             self._pack_fn = jax.jit(_pack)
-        packed = np.asarray(self._pack_fn(res))
-        x_np = np.asarray(res.x)
+        if fuse_x:
+            hist_len = int(np.prod(res.history.shape))
+            flat = np.asarray(self._pack_fn(res))
+            packed = flat[: 5 + hist_len]
+            x_np = flat[5 + hist_len:].reshape(res.x.shape)
+        else:
+            packed = np.asarray(self._pack_fn(res))
+            x_np = np.asarray(res.x)
         if lane_major:
             x_np = np.ascontiguousarray(x_np.T).reshape(-1)
         x = unpad_from_padded(self.layout, x_np)
@@ -690,17 +749,25 @@ class DistributedECG:
         lane_major = getattr(self, "_lane_major", False)
         res, rounds = self._refine_fn(self._b2_dev, *self._operands)
         if not hasattr(self, "_packr_fn"):
+            # ONE flat f32 buffer carries scalars + history + the (hi, lo)
+            # solution pair: a single D2H dispatch instead of two — each
+            # round trip through the remote-attach tunnel costs ~0.1 s
             def _packr(r, rds):
                 head = jnp.stack([
                     r.iters.astype(jnp.float32), r.res.astype(jnp.float32),
                     r.normb.astype(jnp.float32), r.bs.astype(jnp.float32),
                     r.breakdown.astype(jnp.float32), rds.astype(jnp.float32),
                 ])
-                return jnp.concatenate([head, r.history.astype(jnp.float32)])
+                return jnp.concatenate([
+                    head, r.history.astype(jnp.float32),
+                    r.x.astype(jnp.float32).reshape(-1),
+                ])
 
             self._packr_fn = jax.jit(_packr)
-        packed = np.asarray(self._packr_fn(res, rounds))
-        x2 = np.asarray(res.x)                               # (2, ...)
+        hist_len = int(np.prod(res.history.shape))
+        flat = np.asarray(self._packr_fn(res, rounds))
+        packed = flat[: 6 + hist_len]
+        x2 = flat[6 + hist_len:].reshape(res.x.shape)        # (2, ...)
         x_np = x2[0].astype(np.float64) + x2[1].astype(np.float64)
         if lane_major:
             x_np = np.ascontiguousarray(x_np.T).reshape(-1)
