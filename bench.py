@@ -61,7 +61,10 @@ def _main():
     t = int(os.environ.get("PREALPS_BENCH_T", "12"))
     tol = float(os.environ.get("PREALPS_BENCH_TOL", "1e-5"))
     maxiter = int(os.environ.get("PREALPS_BENCH_MAXITER", "3000"))
-    block_size = int(os.environ.get("PREALPS_BENCH_BJ", "1024"))
+    # mb=240-row blocks measured fastest (docs/PERFORMANCE.md BJ sweep):
+    # iteration count is governed by global modes, so halving block size
+    # mostly just halves the HBM-bound apply traffic
+    block_size = int(os.environ.get("PREALPS_BENCH_BJ", "240"))
     fmt = os.environ.get("PREALPS_BENCH_FMT", "stencil")
     precond = os.environ.get("PREALPS_BENCH_PRECOND", "block_jacobi")
     # fastest measured stencil implementation (docs/PERFORMANCE.md)
@@ -111,6 +114,12 @@ def _main():
         kwargs = dict(
             block_size=block_size,
             bj_dtype=os.environ.get("PREALPS_BENCH_BJ_DTYPE", "f32"),
+            # grid-aligned dedupe of repeated diagonal blocks (device_bj.py);
+            # measured slightly behind plain mb=240 on TTS (more iterations
+            # at line/slab granularity outweigh the deduped read — see
+            # docs/PERFORMANCE.md), so off by default; BJ_DEDUPE=1 enables
+            grid=(nel + 1, nel + 1, nel) if fmt == "stencil" else None,
+            bj_dedupe=bool(int(os.environ.get("PREALPS_BENCH_BJ_DEDUPE", "0"))),
         ) if precond in ("bj", "block_jacobi") else dict(cheb_degree=cheb_degree)
         solver = DistributedECG.build(
             a, nshards=1, opts=opts, precond=precond,

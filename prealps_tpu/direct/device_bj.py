@@ -174,3 +174,118 @@ def bj_apply_pallas(b2: jax.Array, z: jax.Array, br: int,
     )(b2, zb)
     w = out[:, :mb, :].reshape(nb, br, mbn, t).transpose(3, 1, 0, 2)
     return w.reshape(t, br, nrb)
+
+
+# ---------------------------------------------------------------------------
+# Deduped block Jacobi: identical diagonal blocks stored (and READ) once
+# ---------------------------------------------------------------------------
+#
+# Constant-coefficient stencil operators (the reference's own elasticity
+# benchmark family, examples/test_ecg_petsc_ela.c DMDA grids) repeat their
+# diagonal blocks: with the block boundary aligned to a full grid z-slab
+# (mbn = nx*ny nodes), every interior slab assembles the SAME dense matrix —
+# symmetric RAC scaling preserves this (interior diagonals are constant).
+# Grouping bitwise-equal slabs turns the BJ apply from an HBM-bound read of
+# n·mb·4 bytes (600 MB at n=148k/mb=1008 — the LARGEST per-iteration kernel,
+# docs/PERFORMANCE.md) into ~4 unique-inverse reads + MXU GEMMs with a
+# 400-column batched panel. Measured: layered-het media dedupe too (period-2
+# slabs), and arbitrary matrices simply fall back (every slab unique).
+
+
+def stencil_slab_groups(blocks_host, mbn: int):
+    """Group bitwise-identical diagonal slabs of a host stencil array.
+
+    blocks_host: (nrb, S, br, br) numpy (csr_to_stencil_bsr layout).
+    Returns (rep_idx, groups): rep_idx tuple of representative block indices,
+    groups tuple of int tuples (block ids per group). Grouping keys on the
+    full slab (conservative: equal diag blocks with different off-slab
+    couplings split unnecessarily — never wrong).
+    """
+    import numpy as np
+
+    nrb = blocks_host.shape[0]
+    if nrb % mbn:
+        return None
+    nb = nrb // mbn
+    flat = np.ascontiguousarray(blocks_host).reshape(nb, -1)
+    seen = {}
+    groups = []
+    for b in range(nb):
+        key = flat[b].tobytes()
+        g = seen.get(key)
+        if g is None:
+            seen[key] = len(groups)
+            groups.append([b])
+        else:
+            groups[g].append(b)
+    rep_idx = tuple(g[0] for g in groups)
+    return rep_idx, tuple(tuple(g) for g in groups)
+
+
+def build_device_block_jacobi_grouped(blocks_t, offsets, mbn: int,
+                                      rep_idx, method: str = "chol"):
+    """Invert only the unique diagonal blocks: (ng, br, mbn, br, mbn)."""
+    gather = jnp.concatenate([
+        jnp.arange(r * mbn, (r + 1) * mbn, dtype=jnp.int32) for r in rep_idx
+    ])
+    reps = blocks_t[:, :, :, gather]         # (S, br, br, ng*mbn)
+    dense = dense_blocks_from_stencil(reps, offsets, mbn)
+    return batched_spd_inverse(dense, method)
+
+
+def bj_apply_grouped(inv_u: jax.Array, groups, z: jax.Array) -> jax.Array:
+    """z: (t, br, nrb) -> (t, br, nrb), reading each unique inverse ONCE.
+
+    groups: static tuple of block-id tuples (from stencil_slab_groups). Each
+    group's members batch into one (mb × mb)·(mb × |g|·t) GEMM — MXU work on
+    a wide panel instead of an HBM stream of per-block copies."""
+    ng, br, mbn, _, _ = inv_u.shape
+    t = z.shape[0]
+    nrb = z.shape[2]
+    nb = nrb // mbn
+    zb = z.reshape(t, br, nb, mbn).transpose(0, 2, 1, 3)   # (t, nb, br, mbn)
+    out = jnp.zeros_like(zb)
+    for g, members in enumerate(groups):
+        idx = jnp.asarray(members, dtype=jnp.int32)
+        zg = zb[:, idx]                                    # (t, |g|, br, mbn)
+        wg = jnp.einsum("mrks,tbks->tbmr", inv_u[g], zg,
+                        precision=HIGHEST)
+        out = out.at[:, idx].set(wg)
+    return out.transpose(0, 2, 1, 3).reshape(t, br, nrb).astype(z.dtype)
+
+
+def csr_slab_groups(a_csr, rows_per_block: int):
+    """Host-side slab grouping straight from the (scaled, padded) CSR.
+
+    Signature = (row-lengths, relative column indices, values) of each
+    rows_per_block row slice — bitwise. Conservative superset of the dense
+    diag-block equality used by the apply (includes off-slab couplings), so
+    grouping can only over-split, never merge unequal blocks.
+    Returns (rep_idx, groups) like stencil_slab_groups, or None if
+    rows_per_block does not divide n.
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    a_csr = sp.csr_matrix(a_csr)
+    n = a_csr.shape[0]
+    if n % rows_per_block:
+        return None
+    nb = n // rows_per_block
+    indptr, indices, data = a_csr.indptr, a_csr.indices, a_csr.data
+    seen, groups = {}, []
+    for b in range(nb):
+        r0 = b * rows_per_block
+        p0, p1 = indptr[r0], indptr[r0 + rows_per_block]
+        key = (
+            np.diff(indptr[r0:r0 + rows_per_block + 1]).tobytes()
+            + (indices[p0:p1] - r0).tobytes()
+            + data[p0:p1].tobytes()
+        )
+        g = seen.get(key)
+        if g is None:
+            seen[key] = len(groups)
+            groups.append([b])
+        else:
+            groups[g].append(b)
+    return tuple(g[0] for g in groups), tuple(tuple(g) for g in groups)

@@ -109,6 +109,8 @@ class DistributedECG:
         cheb_degree: int = 8,
         cheb_kappa: float = 30.0,
         bj_dtype: str = "f32",       # "bf16": halve device-BJ inverse bytes
+        grid: Optional[tuple] = None,  # (nx, ny, nz) node dims of a stencil grid
+        bj_dedupe: bool = True,      # dedupe repeated diagonal blocks (see below)
     ) -> "DistributedECG":
         # f32 solves need true-f32 MXU passes: default (bf16) matmul
         # precision inside the small factorizations silently breaks CG
@@ -137,9 +139,25 @@ class DistributedECG:
             opts.layout == "tbn" and precond in ("block_jacobi", "bj")
         )
         mbn = None
+        bj_slab_dedupe = False
         if lane_major_bj:
             # device-built block Jacobi: node-block size, multiple of 8
             mbn = max(8, (int(block_size or 1024) // br // 8) * 8)
+            # grid-aligned dedupe: with the block boundary on a full grid
+            # x-line (nx nodes) or z-slab (nx*ny nodes), constant-coefficient
+            # operators repeat their diagonal blocks — store/read each unique
+            # inverse ONCE (device_bj.py). Both candidates tile the
+            # lexicographic row order contiguously; pick the one nearest the
+            # requested block_size (smaller blocks = fewer GEMM FLOPs, larger
+            # = fewer iterations; traffic is deduped either way).
+            if bj_dedupe and grid is not None and nshards == 1:
+                nodes = a.shape[0] // br
+                target = max(1, int(block_size or 1024) // br)
+                cands = [c for c in (int(grid[0]), int(grid[0]) * int(grid[1]))
+                         if c > 1 and nodes % c == 0]
+                if cands:
+                    mbn = min(cands, key=lambda c: abs(c - target))
+                    bj_slab_dedupe = True
         if layout is None:
             if fmt == "stencil":
                 import math
@@ -147,7 +165,12 @@ class DistributedECG:
                 from prealps_tpu.core.layout import contiguous_row_layout
 
                 mult = math.lcm(8, br)
-                if mbn is not None:
+                if bj_slab_dedupe:
+                    # exact slab split (n is divisible — checked above); the
+                    # generic lcm-with-8 would force % -level row padding that
+                    # breaks slab alignment
+                    mult = mbn * br
+                elif mbn is not None:
                     mult = math.lcm(mult, mbn * br)
                 layout = contiguous_row_layout(
                     a.shape[0], nshards, row_multiple=mult
@@ -277,20 +300,43 @@ class DistributedECG:
 
         bj_mode = "cholesky"
         cheb_static = None
+        bj_groups = None
         if precond in ("block_jacobi", "bj") and lane_major:
             # block Jacobi assembled and inverted ON DEVICE from the stencil
             # (no host transfer of dense factors; direct/device_bj.py)
-            from prealps_tpu.direct.device_bj import build_device_block_jacobi
+            from prealps_tpu.direct.device_bj import (
+                build_device_block_jacobi,
+                build_device_block_jacobi_grouped,
+                csr_slab_groups,
+            )
 
             assert fmt == "stencil"
-            inv5 = jax.jit(
-                build_device_block_jacobi, static_argnames=("mbn", "method")
-            )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
-            if bj_dtype == "bf16":
-                inv5 = inv5.astype(jnp.bfloat16)
-            bj_operands = (inv5,)
-            bj_specs = (P(AXIS, None, None, None, None),)
-            precond_kind = "bj_lane"
+            grouping = (
+                csr_slab_groups(a_pad, mbn * br) if bj_slab_dedupe else None
+            )
+            nb_tot = (n_pad // br) // mbn
+            if grouping is not None and len(grouping[0]) <= nb_tot // 2:
+                # repeated slabs: invert (and later READ) each unique block
+                # once — turns the HBM-bound per-block stream into a few
+                # wide-panel MXU GEMMs (device_bj.py dedupe notes)
+                rep_idx, bj_groups = grouping
+                inv_u = jax.jit(
+                    build_device_block_jacobi_grouped,
+                    static_argnames=("mbn", "method", "rep_idx"),
+                )(mat_operands[0], stencil_offsets, mbn=mbn,
+                  rep_idx=rep_idx, method="chol")
+                bj_operands = (inv_u,)
+                bj_specs = (P(None, None, None, None, None),)
+                precond_kind = "bj_dedup"
+            else:
+                inv5 = jax.jit(
+                    build_device_block_jacobi, static_argnames=("mbn", "method")
+                )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
+                if bj_dtype == "bf16":
+                    inv5 = inv5.astype(jnp.bfloat16)
+                bj_operands = (inv5,)
+                bj_specs = (P(AXIS, None, None, None, None),)
+                precond_kind = "bj_lane"
         elif precond in ("block_jacobi", "bj"):
             if block_size is not None:
                 nblocks_per_shard = max(1, -(-mpl // block_size))
@@ -520,6 +566,11 @@ class DistributedECG:
 
                 (inv5_loc,) = bj_ops
                 m_apply = lambda z: bj_apply_lane_major(inv5_loc, z)
+            elif precond_kind == "bj_dedup":
+                from prealps_tpu.direct.device_bj import bj_apply_grouped
+
+                (inv_u_loc,) = bj_ops
+                m_apply = lambda z: bj_apply_grouped(inv_u_loc, bj_groups, z)
             elif precond_kind == "bj":
                 m_apply = BlockJacobi(*bj_ops, mode=bj_mode).apply
             elif precond_kind == "chebyshev":
@@ -747,28 +798,43 @@ class DistributedECG:
             self._b2_dev = jax.device_put(np.stack([b_hi, b_lo]))
             self._b2_key = key
         lane_major = getattr(self, "_lane_major", False)
-        res, rounds = self._refine_fn(self._b2_dev, *self._operands)
-        if not hasattr(self, "_packr_fn"):
-            # ONE flat f32 buffer carries scalars + history + the (hi, lo)
-            # solution pair: a single D2H dispatch instead of two — each
-            # round trip through the remote-attach tunnel costs ~0.1 s
-            def _packr(r, rds):
+        if not hasattr(self, "_refine_packed_fn"):
+            # ONE dispatch, ONE flat f32 D2H buffer: the pack is traced INTO
+            # the refine program (a separate pack dispatch costs a full
+            # ~0.1 s tunnel round trip), and the correction half x_lo of the
+            # double-float solution is dropped when the target tolerance
+            # does not need it (hi-only error ≈ 6e-8 relative — harmless at
+            # tol ≥ 1e-6, and x_lo is half the transferred bytes)
+            refine_fn = self._refine_fn
+            fetch_lo = self.target_tol < 1e-6
+            self._fetch_lo = fetch_lo
+
+            def _packed(b2, *ops):
+                r, rds = refine_fn(b2, *ops)
                 head = jnp.stack([
                     r.iters.astype(jnp.float32), r.res.astype(jnp.float32),
                     r.normb.astype(jnp.float32), r.bs.astype(jnp.float32),
                     r.breakdown.astype(jnp.float32), rds.astype(jnp.float32),
                 ])
+                xs = r.x if fetch_lo else r.x[:1]
                 return jnp.concatenate([
                     head, r.history.astype(jnp.float32),
-                    r.x.astype(jnp.float32).reshape(-1),
+                    xs.astype(jnp.float32).reshape(-1),
                 ])
 
-            self._packr_fn = jax.jit(_packr)
-        hist_len = int(np.prod(res.history.shape))
-        flat = np.asarray(self._packr_fn(res, rounds))
+            self._refine_packed_fn = jax.jit(_packed)
+        flat = np.asarray(
+            self._refine_packed_fn(self._b2_dev, *self._operands))
+        hist_len = self.opts.maxiter
         packed = flat[: 6 + hist_len]
-        x2 = flat[6 + hist_len:].reshape(res.x.shape)        # (2, ...)
-        x_np = x2[0].astype(np.float64) + x2[1].astype(np.float64)
+        xflat = flat[6 + hist_len:].astype(np.float64)
+        n_pad = self.layout.n_pad
+        xshape = (self._br, n_pad // self._br) if lane_major else (n_pad,)
+        if self._fetch_lo:
+            x2 = xflat.reshape((2,) + xshape)
+            x_np = x2[0] + x2[1]
+        else:
+            x_np = xflat.reshape(xshape)
         if lane_major:
             x_np = np.ascontiguousarray(x_np.T).reshape(-1)
         x = unpad_from_padded(self.layout, x_np)

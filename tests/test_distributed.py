@@ -576,3 +576,87 @@ class TestBlockEllHalo:
                 local, jnp.asarray(xb_ext.reshape(-1, 3))))
             np.testing.assert_allclose(got, want[s * mpl:(s + 1) * mpl],
                                        rtol=1e-10, atol=1e-10)
+
+
+class TestBJDedupe:
+    """Slab-aligned dedupe of repeated diagonal blocks (device_bj.py):
+    constant-coefficient stencils store/read each unique inverse once."""
+
+    def _problem(self):
+        from prealps_tpu.core.generators import elasticity3d
+
+        a = elasticity3d(6, 6, 8, heterogeneous=False)
+        rng = np.random.default_rng(3)
+        return a, rng.standard_normal(a.shape[0])
+
+    def test_grouping_and_apply_match_per_block(self):
+        import jax.numpy as jnp
+
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.direct.device_bj import (
+            bj_apply_grouped,
+            bj_apply_lane_major,
+            build_device_block_jacobi,
+            build_device_block_jacobi_grouped,
+            csr_slab_groups,
+            stencil_slab_groups,
+        )
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+
+        a, _ = sym_rac_scaling(elasticity3d(6, 6, 8, heterogeneous=False))
+        sb = csr_to_stencil_bsr_t(a, br=3)
+        mbn = 7 * 7                      # one z-slab of nodes
+        nrb = a.shape[0] // 3
+        nb = nrb // mbn
+        rep_idx, groups = csr_slab_groups(a, mbn * 3)
+        assert len(rep_idx) < nb         # interior slabs dedupe
+        assert sorted(i for g in groups for i in g) == list(range(nb))
+        # host-CSR grouping must agree with the stencil-array grouping
+        blocks_host = np.asarray(jnp.transpose(sb.blocks_t, (3, 0, 1, 2)))
+        assert stencil_slab_groups(blocks_host, mbn)[1] == groups
+
+        inv5 = build_device_block_jacobi(sb.blocks_t, sb.offsets, mbn=mbn)
+        inv_u = build_device_block_jacobi_grouped(
+            sb.blocks_t, sb.offsets, mbn=mbn, rep_idx=rep_idx)
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.standard_normal((4, 3, nrb)))
+        w_ref = bj_apply_lane_major(inv5, z)
+        w_grp = bj_apply_grouped(inv_u, groups, z)
+        np.testing.assert_allclose(np.asarray(w_grp), np.asarray(w_ref),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_solve_matches_non_deduped(self):
+        a, b = self._problem()
+        opts = ECGOptions(t=4, tol=1e-8, maxiter=2000, variant="odir_fused",
+                          layout="tbn")
+        s_plain = DistributedECG.build(
+            a, nshards=1, opts=opts, fmt="stencil", br=3,
+            precond="block_jacobi", block_size=49 * 3, bj_dedupe=False,
+        )
+        s_dedup = DistributedECG.build(
+            a, nshards=1, opts=opts, fmt="stencil", br=3,
+            precond="block_jacobi", grid=(7, 7, 8),
+        )
+        x0, i0 = s_plain.solve(b)
+        x1, i1 = s_dedup.solve(b)
+        assert _relres(a, x1, b) < 1e-7
+        # same preconditioner (same slab blocks) -> same convergence
+        assert abs(int(i0["iters"]) - int(i1["iters"])) <= 2
+
+    def test_irregular_matrix_falls_back(self):
+        """A heterogeneous (non-repeating at nb<=2*ng) matrix must take the
+        per-block path and still solve."""
+        from prealps_tpu.core.generators import elasticity3d
+
+        a = elasticity3d(6, 6, 8, heterogeneous=True)
+        rng = np.random.default_rng(4)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=4, tol=1e-8, maxiter=3000, variant="odir_fused",
+                          layout="tbn")
+        s = DistributedECG.build(
+            a, nshards=1, opts=opts, fmt="stencil", br=3,
+            precond="block_jacobi", grid=(7, 7, 8),
+        )
+        x, info = s.solve(b)
+        assert _relres(a, x, b) < 1e-7
