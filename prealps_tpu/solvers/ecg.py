@@ -76,6 +76,12 @@ class ECGOptions:
                                  # noise band: a true floor jitters well
                                  # below it, while even slow (0.999/iter)
                                  # geometric convergence clears it.
+    stacked: Optional[bool] = None  # None = auto: stack the 7 solver panels
+                                 # into ONE array so each iteration is one
+                                 # Gram matmul + one panel GEMM (the TPU
+                                 # fast path; see _iter_odir_fused_stacked).
+                                 # Auto-enabled for layout="tbn" +
+                                 # variant="odir_fused" without adaptive.
 
     def __post_init__(self):
         if self.t < 1:
@@ -327,6 +333,116 @@ def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, re
     )
 
 
+# ---------------------------------------------------------------------------
+# Stacked odir_fused: the whole iteration as TWO large matmuls
+# ---------------------------------------------------------------------------
+#
+# Every panel operation of an odir_fused iteration (mix by U⁻¹, the four
+# downdates/updates, the mask scalings, the V-roll) is a right-multiplication
+# of some panel by a small t×t matrix, and every reduction is a t×t block of
+# the Gram matrix of the panel set. Storing the seven panels
+# [X, R, P, P_prev, AP, AP_prev, Z] as ONE (7, t, *space) array turns the
+# iteration into
+#     G  = psum(W Wᵀ)              (one (7t)² Gram — the reference's fused
+#                                    single allreduce, ecg.c:556-565, with
+#                                    the panel reads fused too)
+#     W' = C W                     (one (7t)×(7t) composed coefficient GEMM)
+#     AP', Z' slots <- A·P', M⁻¹AP' (SpMM + preconditioner)
+# i.e. ~4 HBM passes over the panel set instead of ~37 separate op passes —
+# measured 1.45 ms/iter of dense glue collapsing (docs/PERFORMANCE.md).
+# Mathematically identical to _iter_odir_fused (same order of corrections
+# through the Cholesky factor); not bit-identical (different GEMM grouping).
+
+_SX, _SR, _SP, _SPP, _SAP, _SAPP, _SZ = range(7)
+
+
+def _use_stacked(opts: "ECGOptions") -> bool:
+    if opts.stacked is not None:
+        return opts.stacked
+    return (
+        opts.layout == "tbn"
+        and opts.variant == "odir_fused"
+        and not opts.adaptive
+    )
+
+
+def _is_stacked_state(state: "_State") -> bool:
+    # stacked states carry W in x_blk and zero-size placeholders elsewhere
+    return state.r.ndim == 1 and state.r.shape[0] == 0
+
+
+def _iter_odir_fused_stacked(state, a_apply, m_apply, axis_name, opts,
+                             normb, red_tol, ops):
+    W2 = state.x_blk                    # (7t, prod(space)) FLAT 2-D: TPU
+    # tiles the last TWO dims to (8,128); a (…, br=3, nrb) panel wastes 5/8
+    # of every sublane, measured 2× on the Gram and 3× on the C-GEMM
+    # (docs/PERFORMANCE.md) — so the stacked state lives flat and panels are
+    # reshaped only at the operator boundary
+    panel_shape = state.p.shape[1:]     # (t, *space) carried by placeholder
+    mask = state.mask
+    dtype = state.res.dtype
+    t = mask.shape[0]
+
+    # --- ONE Gram + ONE psum: all five t×t blocks at once ---
+    G = psum(jnp.einsum("aX,bX->ab", W2, W2, precision=HIGHEST), axis_name)
+    Gb = G.reshape(7, t, 7, t)
+    alpha_raw = Gb[_SP, :, _SR, :]      # PᵀR
+    beta1_raw = Gb[_SAP, :, _SZ, :]     # APᵀZ
+    beta2_raw = Gb[_SAPP, :, _SZ, :]    # AP_prevᵀZ
+    mu = Gb[_SAP, :, _SP, :]            # APᵀP
+    rtr = Gb[_SR, :, _SR, :]
+    res = jnp.sqrt(jnp.trace(rtr))
+
+    # --- factor + corrections (identical algebra to _iter_odir_fused) ---
+    u = chol_masked(mu, mask)
+    breakdown = jnp.any(jnp.isnan(u))
+    u = jnp.where(breakdown, jnp.eye(t, dtype=dtype), u)
+    ui = tri_inv(u)
+    alpha = jnp.einsum("dr,dk->rk", ui, alpha_raw,
+                       precision=HIGHEST) * mask[:, None]
+    beta1 = jnp.einsum("dr,dk,ks->rs", ui, beta1_raw, ui, precision=HIGHEST)
+    beta2 = jnp.einsum("dk,ks->ds", beta2_raw, ui, precision=HIGHEST)
+
+    # --- compose the iteration's panel algebra into C: W'_a = Σ_b W_b C[b,a]
+    #     (C[b, d, a, r] = weight of old slot b, direction d in new slot a,
+    #      direction r — right-multiplication convention of TBN.mix) ---
+    eye = jnp.eye(t, dtype=dtype)
+    uiA = jnp.einsum("dr,rk->dk", ui, alpha, precision=HIGHEST)    # Ui·alpha
+    uiB1 = jnp.einsum("dr,rk->dk", ui, beta1, precision=HIGHEST)   # Ui·beta1
+    act = mask[None, :]                 # scales NEW direction columns
+    frz = 1.0 - mask[None, :]
+    C = jnp.zeros((7, t, 7, t), dtype)
+    C = C.at[_SX, :, _SX, :].set(eye)                    # X' = X + P̂ alpha
+    C = C.at[_SP, :, _SX, :].set(uiA)
+    C = C.at[_SR, :, _SR, :].set(eye)                    # R' = R − AP̂ alpha
+    C = C.at[_SAP, :, _SR, :].set(-uiA)
+    # P' = (Z Ui − P Ui beta1 − P_prev beta2)·diag(mask) + P Ui·diag(1−mask)
+    C = C.at[_SZ, :, _SP, :].set(ui * act)
+    C = C.at[_SP, :, _SP, :].set(-uiB1 * act + ui * frz)
+    C = C.at[_SPP, :, _SP, :].set(-beta2 * act)
+    C = C.at[_SP, :, _SPP, :].set(ui * act)              # P_prev' = P̂·mask
+    C = C.at[_SAP, :, _SAPP, :].set(ui * act)            # AP_prev' = AP̂·mask
+    Wn = jnp.einsum("dk,dX->kX", C.reshape(7 * t, 7 * t), W2,
+                    precision=HIGHEST)
+
+    # --- operator + preconditioner fill the AP / Z slots ---
+    p_new = Wn[_SP * t:(_SP + 1) * t].reshape(panel_shape)
+    ap_new = a_apply(p_new)
+    z_new = m_apply(ap_new)
+    Wn = (
+        Wn.at[_SAP * t:(_SAP + 1) * t].set(ap_new.reshape(t, -1))
+           .at[_SZ * t:(_SZ + 1) * t].set(z_new.reshape(t, -1))
+    )
+
+    best_res, stall = _track_stall(state, res, opts.stall_rtol)
+    return state._replace(
+        x_blk=Wn, it=state.it + 1, res=res,
+        breakdown=state.breakdown | breakdown,
+        history=state.history.at[state.it].set(res) if opts.record_history else state.history,
+        best_res=best_res, stall=stall,
+    )
+
+
 _ITER_FNS = {
     "omin": _iter_omin,
     "odir": _iter_odir,
@@ -361,6 +477,22 @@ def ecg_init(
     z0 = m_apply(ap0) if opts.variant == "odir_fused" else jnp.zeros_like(p0)
     zeros = jnp.zeros_like(p0)
     history = jnp.full((opts.maxiter,), -1.0, dtype)
+    if _use_stacked(opts):
+        # seven panels in ONE FLAT 2-D array (sublane-efficient — see
+        # _iter_odir_fused_stacked); the zero-size `p` placeholder carries
+        # the panel shape for the operator boundary
+        w0 = jnp.stack([zeros, r0, p0, zeros, ap0, zeros, z0])
+        w0 = w0.reshape(7 * t, -1)
+        empty = jnp.zeros((0,), dtype)
+        state0 = _State(
+            x_blk=w0, r=empty, p=jnp.zeros((0,) + p0.shape, dtype), ap=empty,
+            p_prev=empty, ap_prev=empty, z=empty,
+            mask=mask0, it=jnp.int32(0),
+            res=normb.astype(dtype), breakdown=jnp.bool_(False),
+            history=history,
+            best_res=normb.astype(dtype), stall=jnp.int32(0),
+        )
+        return state0, normb
     state0 = _State(
         x_blk=zeros, r=r0, p=p0, ap=ap0, p_prev=zeros, ap_prev=zeros, z=z0,
         mask=mask0, it=jnp.int32(0),
@@ -378,7 +510,10 @@ def ecg_run(
     (optionally) max_steps more iterations — the chunked-execution primitive
     behind checkpoint/resume."""
     ops = LAYOUTS[opts.layout]
-    iter_fn = _ITER_FNS[opts.variant]
+    iter_fn = (
+        _iter_odir_fused_stacked if _use_stacked(opts)
+        else _ITER_FNS[opts.variant]
+    )
     dtype = state.res.dtype
     t = opts.t
     red_tol = (opts.tol * normb / jnp.sqrt(jnp.asarray(float(t), dtype))).astype(dtype)
@@ -403,8 +538,14 @@ def ecg_run(
 def ecg_finalize(state: "_State", normb: jax.Array, layout: str = "nt") -> ECGResult:
     """Sum the solution columns (reference: ecg.c:668-677)."""
     ops = LAYOUTS[layout]
+    if _is_stacked_state(state):
+        t = state.mask.shape[0]
+        panel_shape = state.p.shape[1:]
+        x_blk = state.x_blk[_SX * t:(_SX + 1) * t].reshape(panel_shape)
+    else:
+        x_blk = state.x_blk
     return ECGResult(
-        x=ops.sum_dirs(state.x_blk),
+        x=ops.sum_dirs(x_blk),
         iters=state.it,
         res=state.res,
         normb=normb,
