@@ -108,10 +108,36 @@ def bj_apply_lane_major(inv5: jax.Array, z: jax.Array) -> jax.Array:
     return w.transpose(0, 2, 1, 3).reshape(t, br, nb * mbn).astype(z.dtype)
 
 
+def bj_apply_flat(inv_flat: jax.Array, z: jax.Array) -> jax.Array:
+    """z: (t, br, nrb) -> (t, br, nrb) with FLAT (nb, mb, mb) inverses.
+
+    Same math as bj_apply_lane_major, but the flat dense-block layout tiles
+    TPU memory densely: the 5-D (…, br, mbn) form puts br=3 in a sublane
+    dim that pads to 8, physically amplifying the dominant HBM read of the
+    apply by 8/3 (measured ~0.79 ms -> ~0.4 ms at n=148k, mb=240 rows)."""
+    nb, mb, _ = inv_flat.shape
+    t, br, nrb = z.shape
+    mbn = mb // br
+    zb = z.reshape(t, br, nb, mbn).transpose(0, 2, 1, 3).reshape(t, nb, mb)
+    w = jnp.einsum("bDS,tbS->tbD", inv_flat, zb, precision=HIGHEST)
+    return (
+        w.reshape(t, nb, br, mbn).transpose(0, 2, 1, 3)
+         .reshape(t, br, nrb).astype(z.dtype)
+    )
+
+
 def build_device_block_jacobi(blocks_t, offsets, mbn: int, method: str = "chol"):
     """Stencil -> explicit block inverses, entirely on device."""
     dense = dense_blocks_from_stencil(blocks_t, offsets, mbn)
     return batched_spd_inverse(dense, method)
+
+
+def build_device_block_jacobi_flat(blocks_t, offsets, mbn: int,
+                                   method: str = "chol"):
+    """Stencil -> FLAT (nb, mb, mb) explicit block inverses (bj_apply_flat)."""
+    inv5 = build_device_block_jacobi(blocks_t, offsets, mbn, method)
+    nb, br, mbn_, _, _ = inv5.shape
+    return inv5.reshape(nb, br * mbn_, br * mbn_)
 
 
 # ---------------------------------------------------------------------------

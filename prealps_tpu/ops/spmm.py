@@ -552,3 +552,188 @@ def stencil_bsr_spmm_t_pallas_bs(a, xt: jax.Array, chunk: int = 2048,
         interpret=interpret,
     )(x_pad, x_pad, x_pad, blocks)
     return out[:, :, :nrb]
+
+
+# ---------------------------------------------------------------------------
+# Planar stencil SpMM: flat (t, br·nrb) panels, sublane-efficient layouts
+# ---------------------------------------------------------------------------
+#
+# TPU tiles the minor two dims of every array to (8, 128); a lane-major
+# (t, br, nrb) panel with br=3 therefore wastes 5/8 of every sublane, and
+# the (S, br, br, nrb) block table wastes the same on the dominant read.
+# The planar formulation keeps panels FLAT 2-D — row = [plane k=0 | plane
+# k=1 | ... ] of length br·nrb — and the block table as (br, S·br, nrb),
+# so both tile densely. This is the kernel behind the stacked ECG state
+# (solvers/ecg.py::_iter_odir_fused_stacked), which stores all panels flat.
+
+
+def stencil_blocks_planar(blocks_t: jax.Array) -> jax.Array:
+    """(S, br, br, nrb) -> (br, S·br, nrb): output-plane-major block table.
+
+    One-time device reshuffle at build; rows within plane m are ordered
+    [s][k] to match _stencil_planar_kernel's indexing."""
+    s, br, _, nrb = blocks_t.shape
+    return jnp.transpose(blocks_t, (1, 0, 2, 3)).reshape(br, s * br, nrb)
+
+
+def _stencil_planar_kernel(*args, offsets, chunk, br, t_dim):
+    """One (output plane m, node chunk i) tile of the planar stencil SpMM.
+
+    args: 3·br shifted x views (k-major, shifts −1/0/+1 chunks), the
+    (1, S·br, chunk) block tile for plane m, the (t, chunk) output."""
+    xv = args[: 3 * br]
+    blocks_ref = args[3 * br]
+    out_ref = args[3 * br + 1]
+    xw = [
+        jnp.concatenate(
+            [xv[3 * k][...], xv[3 * k + 1][...], xv[3 * k + 2][...]], axis=1
+        )
+        for k in range(br)
+    ]
+    acc = jnp.zeros((t_dim, chunk), jnp.float32)
+    for s, off in enumerate(offsets):
+        lo = chunk + off
+        for k in range(br):
+            xs = jax.lax.slice_in_dim(xw[k], lo, lo + chunk, axis=1)
+            acc = acc + blocks_ref[0, s * br + k, :][None, :] * xs
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "br", "nrb", "chunk", "interpret")
+)
+def stencil_spmm_planar(blocks3: jax.Array, x2: jax.Array, *, offsets,
+                        br: int, nrb: int, chunk: int = 1536,
+                        interpret: bool = False) -> jax.Array:
+    """Planar stencil SpMM: x2 (t, br·nrb) -> (t, br·nrb).
+
+    blocks3: (br, S·br, nrb) from stencil_blocks_planar. Requires
+    chunk | nrb (the planar driver aligns the row layout) and chunk ≥ halo.
+    Grid is (node chunk, output plane) with the plane innermost, so the nine
+    shifted x views are fetched once per chunk and revisited across planes.
+    Wrap-around halo entries multiply zero blocks (same exactness argument
+    as the lane-major kernels)."""
+    t_dim = x2.shape[0]
+    halo = max(max(abs(o) for o in offsets), 0)
+    if nrb % chunk or chunk < halo:
+        raise ValueError(f"chunk {chunk} must divide nrb {nrb} and be >= halo {halo}")
+    grid_n = nrb // chunk
+    sect = (grid_n + 2) * chunk
+    lead = chunk - halo
+    tail = sect - (lead + nrb + 2 * halo)
+    zl = jnp.zeros((t_dim, lead), x2.dtype)
+    zt = jnp.zeros((t_dim, tail), x2.dtype)
+    segs = []
+    for k in range(br):
+        pk = jax.lax.slice_in_dim(x2, k * nrb, (k + 1) * nrb, axis=1)
+        segs += [zl, pk[:, nrb - halo:], pk, pk[:, :halo], zt]
+    x_pad = jnp.concatenate(segs, axis=1)      # (t, br·sect)
+
+    kernel = functools.partial(
+        _stencil_planar_kernel, offsets=offsets, chunk=chunk, br=br,
+        t_dim=t_dim,
+    )
+    sbr = blocks3.shape[1]
+    xspec = lambda k, d: pl.BlockSpec(
+        (t_dim, chunk),
+        lambda i, m, _k=k, _d=d: (0, _k * (grid_n + 2) + i + _d),
+    )
+    in_specs = [xspec(k, d) for k in range(br) for d in range(3)]
+    in_specs.append(
+        pl.BlockSpec((1, sbr, chunk), lambda i, m: (m, 0, i))
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid_n, br),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((t_dim, chunk), lambda i, m: (0, m * grid_n + i)),
+        out_shape=jax.ShapeDtypeStruct((t_dim, br * nrb), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(offsets) * br * br * nrb * t_dim,
+            bytes_accessed=blocks3.size * 4 + 4 * x2.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*([x_pad] * (3 * br) + [blocks3]))
+    return out
+
+
+def stencil_spmm_planar_ref(blocks3: jax.Array, x2: jax.Array, *, offsets,
+                            br: int, nrb: int) -> jax.Array:
+    """XLA reference/fallback for stencil_spmm_planar (CPU tests, wide
+    panels): reshape to lane-major, reuse the scan path, flatten back."""
+    t_dim = x2.shape[0]
+    s = len(offsets)
+    blocks_t = jnp.transpose(
+        blocks3.reshape(br, s, br, nrb), (1, 0, 2, 3)
+    )
+    xt = x2.reshape(t_dim, br, nrb)
+    halo = max(max(abs(o) for o in offsets), 0)
+    x_ext = jnp.concatenate(
+        [xt[:, :, nrb - halo:], xt, xt[:, :, :halo]], axis=2
+    )
+    y = stencil_scan_accumulate(blocks_t, offsets, x_ext, halo)
+    return y.reshape(t_dim, br * nrb)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "halo", "chunk",
+                                             "interpret"))
+def stencil_pallas_bs_ext(blocks_t: jax.Array, offsets, x_ext: jax.Array,
+                          halo: int, chunk: int = 1536,
+                          interpret: bool = False) -> jax.Array:
+    """BlockSpec Pallas stencil SpMM taking a PRE-EXTENDED panel.
+
+    x_ext: (t, br, nrb + 2·halo) with halos already attached (ring-ppermute
+    halo exchange in the distributed driver, or wrap slices single-shard).
+    Same kernel as stencil_bsr_spmm_t_pallas_bs; this entry point lets the
+    solve's halo exchange (parallel/driver.py) feed the Pallas pipeline
+    directly instead of the XLA scan path."""
+    s_max, br, _, nrb = blocks_t.shape
+    t_dim = x_ext.shape[0]
+    if chunk < halo:
+        chunk = -(-halo // 128) * 128
+    grid = -(-nrb // chunk)
+    nrb_pad = grid * chunk
+    lead = chunk - halo
+    tail = (grid + 2) * chunk - (lead + nrb + 2 * halo)
+    x_pad = jnp.concatenate(
+        [jnp.zeros((t_dim, br, lead), x_ext.dtype), x_ext,
+         jnp.zeros((t_dim, br, tail), x_ext.dtype)], axis=2,
+    )
+    blocks = blocks_t
+    if nrb_pad != nrb:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((s_max, br, br, nrb_pad - nrb), blocks.dtype)],
+            axis=3,
+        )
+    kernel = functools.partial(
+        _stencil_bs_kernel, offsets=offsets, halo=halo, chunk=chunk,
+        br=br, t_dim=t_dim,
+    )
+    xspec = lambda k: pl.BlockSpec(
+        (t_dim, br, chunk), lambda i, _k=k: (0, 0, i + _k)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            xspec(0), xspec(1), xspec(2),
+            pl.BlockSpec((s_max, br, br, chunk), lambda i: (0, 0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((t_dim, br, chunk), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((t_dim, br, nrb_pad), x_ext.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s_max * br * br * nrb * t_dim,
+            bytes_accessed=blocks.size * 4 + 4 * x_ext.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_pad, x_pad, x_pad, blocks)
+    return out[:, :, :nrb]
+
+
+def stencil_pallas_chunk(t_dim: int, br: int, s_max: int) -> int:
+    """VMEM-budget chunk for the BlockSpec stencil kernels (3 x views + out,
+    t·br·chunk each, + the (s·br²·chunk) block tile, double-buffered)."""
+    denom = (4 * t_dim * br + s_max * br * br) * 4 * 2
+    return max((5_000_000 // denom) // 128 * 128, 128)

@@ -11,6 +11,7 @@ all-gather the X panel — with psum for every Gram reduction.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -328,15 +329,28 @@ class DistributedECG:
                 bj_operands = (inv_u,)
                 bj_specs = (P(None, None, None, None, None),)
                 precond_kind = "bj_dedup"
-            else:
+            elif bj_dtype == "bf16":
                 inv5 = jax.jit(
                     build_device_block_jacobi, static_argnames=("mbn", "method")
                 )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
-                if bj_dtype == "bf16":
-                    inv5 = inv5.astype(jnp.bfloat16)
+                inv5 = inv5.astype(jnp.bfloat16)
                 bj_operands = (inv5,)
                 bj_specs = (P(AXIS, None, None, None, None),)
                 precond_kind = "bj_lane"
+            else:
+                # FLAT (nb, mb, mb) inverses: dense sublane tiling on the
+                # dominant HBM read of the apply (device_bj.bj_apply_flat)
+                from prealps_tpu.direct.device_bj import (
+                    build_device_block_jacobi_flat,
+                )
+
+                inv_f = jax.jit(
+                    build_device_block_jacobi_flat,
+                    static_argnames=("mbn", "method"),
+                )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
+                bj_operands = (inv_f,)
+                bj_specs = (P(AXIS, None, None),)
+                precond_kind = "bj_flat"
         elif precond in ("block_jacobi", "bj"):
             if block_size is not None:
                 nblocks_per_shard = max(1, -(-mpl // block_size))
@@ -410,6 +424,8 @@ class DistributedECG:
                         x_all = jnp.roll(x_all, halo - sidx * nrb_loc, axis=2)
                         x_ext = x_all[:, :, : nrb_loc + 2 * halo]
                     from prealps_tpu.ops.spmm import (
+                        stencil_pallas_bs_ext,
+                        stencil_pallas_chunk,
                         stencil_scan_accumulate,
                         stencil_scan_accumulate_df,
                     )
@@ -417,6 +433,18 @@ class DistributedECG:
                     if df:
                         return stencil_scan_accumulate_df(
                             blocks_t_loc, stencil_offsets, x_ext, halo
+                        )
+                    # the Pallas BlockSpec pipeline is the fast path on the
+                    # real chip (0.51 ms vs ~0.9 ms for the XLA scan at
+                    # n=148k/t=12, bit-exact); scan elsewhere / wide panels
+                    s_max_ = blocks_t_loc.shape[0]
+                    chunk_ = stencil_pallas_chunk(t_dim, br, s_max_)
+                    if (jax.default_backend() == "tpu" and chunk_ >= halo
+                            and os.environ.get(
+                                "PREALPS_STENCIL_IMPL", "pallas") == "pallas"):
+                        return stencil_pallas_bs_ext(
+                            blocks_t_loc, stencil_offsets, x_ext, halo,
+                            chunk=chunk_,
                         )
                     return stencil_scan_accumulate(
                         blocks_t_loc, stencil_offsets, x_ext, halo
@@ -566,6 +594,11 @@ class DistributedECG:
 
                 (inv5_loc,) = bj_ops
                 m_apply = lambda z: bj_apply_lane_major(inv5_loc, z)
+            elif precond_kind == "bj_flat":
+                from prealps_tpu.direct.device_bj import bj_apply_flat
+
+                (inv_f_loc,) = bj_ops
+                m_apply = lambda z: bj_apply_flat(inv_f_loc, z)
             elif precond_kind == "bj_dedup":
                 from prealps_tpu.direct.device_bj import bj_apply_grouped
 

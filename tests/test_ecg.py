@@ -250,3 +250,58 @@ class TestWarmStart:
         )(b_lane, x0_lane)
         x = np.asarray(res.x).T.reshape(-1)
         assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-7
+
+
+class TestStackedIteration:
+    """The stacked odir_fused fast path (one Gram + one coefficient GEMM,
+    solvers/ecg.py::_iter_odir_fused_stacked) must reproduce the unstacked
+    iteration: same algebra through the Cholesky factor, different GEMM
+    grouping."""
+
+    def test_matches_unstacked(self, ela_problem):
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+
+        a, b = ela_problem
+        st = csr_to_stencil_bsr_t(a, br=3)
+        nrb = a.shape[0] // 3
+        b_lane = jnp.asarray(np.ascontiguousarray(b.reshape(nrb, 3).T))
+        results = {}
+        for stacked in (False, True):
+            opts = ECGOptions(t=4, tol=1e-9, maxiter=4000, layout="tbn",
+                              variant="odir_fused", stacked=stacked)
+            res = jax.jit(
+                lambda bb, o=opts: ecg_solve(
+                    lambda v: stencil_bsr_spmm_t(st, v), None, bb, o)
+            )(b_lane)
+            x = np.asarray(res.x).T.reshape(-1)
+            assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+            results[stacked] = int(res.iters)
+        # identical algebra -> iteration counts match (tight band for
+        # rounding-order differences)
+        assert abs(results[True] - results[False]) <= 2
+
+    def test_checkpoint_roundtrip_stacked(self, tmp_path, ela_problem):
+        """Stacked state is a plain pytree: snapshot/resume must still work
+        (solvers/checkpoint.py treats states generically)."""
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+        from prealps_tpu.solvers.checkpoint import load_state, save_state
+        from prealps_tpu.solvers.ecg import ecg_finalize, ecg_init, ecg_run
+
+        a, b = ela_problem
+        st = csr_to_stencil_bsr_t(a, br=3)
+        nrb = a.shape[0] // 3
+        b_lane = jnp.asarray(np.ascontiguousarray(b.reshape(nrb, 3).T))
+        opts = ECGOptions(t=4, tol=1e-9, maxiter=4000, layout="tbn")
+        a_op = lambda v: stencil_bsr_spmm_t(st, v)
+        m_op = lambda v: v
+        s0, normb = ecg_init(a_op, m_op, b_lane, opts)
+        s1 = ecg_run(a_op, m_op, s0, normb, opts, max_steps=5)
+        path = str(tmp_path / "ck.npz")
+        save_state(path, s1, normb)
+        s1b, normb_b = load_state(path)
+        s2 = ecg_run(a_op, m_op, s1b, normb_b, opts)
+        res = ecg_finalize(s2, normb_b, opts.layout)
+        x = np.asarray(res.x).T.reshape(-1)
+        assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
