@@ -63,10 +63,14 @@ def _main():
     maxiter = int(os.environ.get("PREALPS_BENCH_MAXITER", "3000"))
     # mb=240-row blocks measured fastest (docs/PERFORMANCE.md BJ sweep):
     # iteration count is governed by global modes, so halving block size
-    # mostly just halves the HBM-bound apply traffic
+    # mostly just halves the HBM-bound apply traffic. The global low modes
+    # themselves are handled by the default two-level preconditioner (bj2l:
+    # BJ + geometric-RBM Nicolaides coarse space, precond/twolevel.py) —
+    # 200 -> 130 iterations on the headline problem; PREALPS_BENCH_PRECOND
+    # restores plain "bj" / "lorasc" / "chebyshev".
     block_size = int(os.environ.get("PREALPS_BENCH_BJ", "240"))
     fmt = os.environ.get("PREALPS_BENCH_FMT", "stencil")
-    precond = os.environ.get("PREALPS_BENCH_PRECOND", "block_jacobi")
+    precond = os.environ.get("PREALPS_BENCH_PRECOND", "bj2l")
     # fastest measured stencil implementation (docs/PERFORMANCE.md)
     os.environ.setdefault("PREALPS_STENCIL_IMPL", "pallas")
     cheb_degree = int(os.environ.get("PREALPS_BENCH_CHEB_DEG", "8"))
@@ -120,7 +124,7 @@ def _main():
             # docs/PERFORMANCE.md), so off by default; BJ_DEDUPE=1 enables
             grid=(nel + 1, nel + 1, nel) if fmt == "stencil" else None,
             bj_dedupe=bool(int(os.environ.get("PREALPS_BENCH_BJ_DEDUPE", "0"))),
-        ) if precond in ("bj", "block_jacobi") else dict(cheb_degree=cheb_degree)
+        ) if precond in ("bj", "block_jacobi", "bj2l") else dict(cheb_degree=cheb_degree)
         solver = DistributedECG.build(
             a, nshards=1, opts=opts, precond=precond,
             dtype=dtype, fmt=fmt, br=3, inner_tol=inner_tol, **kwargs,

@@ -137,7 +137,8 @@ class DistributedECG:
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
         lane_major_bj = (
-            opts.layout == "tbn" and precond in ("block_jacobi", "bj")
+            opts.layout == "tbn"
+            and precond in ("block_jacobi", "bj", "bj2l", "block_jacobi_2l")
         )
         mbn = None
         bj_slab_dedupe = False
@@ -151,7 +152,8 @@ class DistributedECG:
             # lexicographic row order contiguously; pick the one nearest the
             # requested block_size (smaller blocks = fewer GEMM FLOPs, larger
             # = fewer iterations; traffic is deduped either way).
-            if bj_dedupe and grid is not None and nshards == 1:
+            if (bj_dedupe and grid is not None and nshards == 1
+                    and precond in ("block_jacobi", "bj")):
                 nodes = a.shape[0] // br
                 target = max(1, int(block_size or 1024) // br)
                 cands = [c for c in (int(grid[0]), int(grid[0]) * int(grid[1]))
@@ -302,7 +304,67 @@ class DistributedECG:
         bj_mode = "cholesky"
         cheb_static = None
         bj_groups = None
-        if precond in ("block_jacobi", "bj") and lane_major:
+        if precond in ("bj2l", "block_jacobi_2l") and lane_major:
+            # Two-level block Jacobi: flat subdomain inverses + an additive
+            # GenEO-style coarse correction M⁻¹ = M_BJ⁻¹ + Z A_c⁻¹ Zᵀ
+            # (precond/twolevel.py). Block Jacobi alone leaves the global
+            # low-energy (near-rigid-body) modes untouched — the reference's
+            # own motivation for LORASC (BASELINE.md Table 4); the per-block
+            # low-mode coarse space is the cheap classical fix and is pure
+            # batched GEMM work on the MXU.
+            from prealps_tpu.direct.device_bj import (
+                build_device_block_jacobi,
+            )
+            from prealps_tpu.precond.twolevel import (
+                block_low_modes,
+                coarse_matrix_host,
+            )
+
+            assert fmt == "stencil" and nshards == 1, \
+                "bj2l currently targets the single-chip stencil path"
+            q_modes = int(os.environ.get("PREALPS_BJ2L_Q", "6"))
+            inv5 = jax.jit(
+                build_device_block_jacobi, static_argnames=("mbn", "method")
+            )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
+            nb_ = inv5.shape[0]
+            mb_ = br * mbn
+            inv_f = inv5.reshape(nb_, mb_, mb_)
+            if grid is not None:
+                # geometric rigid-body modes (Nicolaides): the low modes of
+                # the DIRICHLET diagonal blocks vanish on block boundaries
+                # and give no iteration cut (measured) — RBMs are the right
+                # coarse space for elasticity
+                from prealps_tpu.core.layout import pad_to_padded
+                from prealps_tpu.precond.twolevel import geometric_rbm_modes
+
+                d_pad = (pad_to_padded(layout, scale_d)
+                         if scale_d is not None else None)
+                y5_host = geometric_rbm_modes(
+                    grid, br, n_pad // br, mbn, scale_d=d_pad)
+                y5 = jnp.asarray(y5_host, dtype=dtype)
+            else:
+                y5 = jax.jit(
+                    block_low_modes, static_argnames=("q", "iters")
+                )(inv5, q=q_modes)
+                y5_host = np.asarray(y5, dtype=np.float64)  # one-time D2H
+            ac = coarse_matrix_host(a_pad, y5_host, br)
+            # padded rows carry identity diagonal blocks; their modes are
+            # harmless but can make A_c ill-conditioned — regularise lightly
+            ac += 1e-10 * np.trace(ac) / ac.shape[0] * np.eye(ac.shape[0])
+            import scipy.linalg as sla
+
+            ac_inv = sla.inv(ac, overwrite_a=True)
+            ac_inv = np.asarray(0.5 * (ac_inv + ac_inv.T), dtype=dtype)
+            # (nb, q, mb): q in sublanes — a (…, mbn, q) layout would pad
+            # q=6 to 128 lanes (21× the logical read, twolevel.bj2l_apply)
+            yq3 = np.ascontiguousarray(
+                y5_host.transpose(0, 3, 1, 2).reshape(nb_, -1, mb_)
+            ).astype(dtype)
+            bj_operands = (inv_f, jnp.asarray(yq3), jnp.asarray(ac_inv))
+            bj_specs = (P(AXIS, None, None), P(AXIS, None, None),
+                        P(None, None))
+            precond_kind = "bj2l"
+        elif precond in ("block_jacobi", "bj") and lane_major:
             # block Jacobi assembled and inverted ON DEVICE from the stencil
             # (no host transfer of dense factors; direct/device_bj.py)
             from prealps_tpu.direct.device_bj import (
@@ -599,6 +661,12 @@ class DistributedECG:
 
                 (inv_f_loc,) = bj_ops
                 m_apply = lambda z: bj_apply_flat(inv_f_loc, z)
+            elif precond_kind == "bj2l":
+                from prealps_tpu.precond.twolevel import bj2l_apply
+
+                inv_f_loc, yq3_loc, ac_inv_loc = bj_ops
+                m_apply = lambda z: bj2l_apply(
+                    inv_f_loc, yq3_loc, ac_inv_loc, z)
             elif precond_kind == "bj_dedup":
                 from prealps_tpu.direct.device_bj import bj_apply_grouped
 

@@ -101,3 +101,86 @@ def coarse_apply(y5, ac_inv, r):
     c = c.reshape(t, nb, q)
     w = jnp.einsum("bkrq,tbq->tbkr", y5, c, precision=HIGHEST)
     return w.transpose(0, 2, 1, 3).reshape(t, br, nb * mbn)
+
+
+def geometric_rbm_modes(grid, br: int, nrb: int, mbn: int,
+                        scale_d: np.ndarray | None = None,
+                        perm: np.ndarray | None = None) -> np.ndarray:
+    """Per-block geometric rigid-body modes (the Nicolaides coarse space).
+
+    The per-block LOW modes of the Dirichlet diagonal block vanish on the
+    block boundary, so they cannot represent inter-block motion — measured:
+    no iteration cut. Rigid-body modes of the block's node set do not
+    vanish there and span exactly the near-null space block Jacobi misses
+    (3 translations + 3 rotations for 3-D elasticity).
+
+    grid: (nx, ny, nz) node dims, lexicographic x-fastest ordering (the
+    built-in elasticity generator's layout, core/generators.py).
+    scale_d: if the operator was symmetrically scaled (Ã = D A D), the
+    near-null space of Ã is D⁻¹·RBM — pass the scaling diagonal in the
+    PERMUTED/padded row order (perm applied, padding appended).
+    Returns y5 (nb, br, mbn, q=6), per-block orthonormalised.
+    """
+    nx, ny, nz = (int(g) for g in grid)
+    nb = nrb // mbn
+    q = 3 * (br - 1) if br == 2 else 6 if br == 3 else br
+    n_nodes = nx * ny * nz
+    j = np.arange(nrb)
+    px = (j % nx).astype(np.float64)
+    py = ((j // nx) % ny).astype(np.float64)
+    pz = (j // (nx * ny)).astype(np.float64)
+    pad = j >= n_nodes
+    modes = np.zeros((nrb, br, 6), dtype=np.float64)
+    # translations
+    for k in range(min(br, 3)):
+        modes[:, k, k] = 1.0
+    if br == 3:
+        # rotations about x/y/z: u = r × (p − c); centering per block below
+        modes[:, 1, 3], modes[:, 2, 3] = -pz, py     # about x
+        modes[:, 0, 4], modes[:, 2, 4] = pz, -px     # about y
+        modes[:, 0, 5], modes[:, 1, 5] = -py, px     # about z
+    modes[pad] = 0.0
+    if scale_d is not None:
+        d = np.asarray(scale_d, dtype=np.float64).reshape(nrb, br)
+        # scaled system Ã = D A D: near-null(Ã) = D⁻¹ · RBM
+        modes /= np.where(d[:, :, None] == 0.0, 1.0, d[:, :, None])
+        modes[pad] = 0.0
+    y = modes.reshape(nb, mbn, br, 6).transpose(0, 2, 1, 3)  # (nb, br, mbn, 6)
+    # centre the rotation arms per block and orthonormalise (condition of
+    # A_c); padded-only blocks fall back to identity-ish columns
+    out = np.zeros((nb, br, mbn, q), dtype=np.float64)
+    for b in range(nb):
+        m = y[b].transpose(1, 0, 2).reshape(mbn * br, 6)   # natural rows
+        qq, rr = np.linalg.qr(m)
+        keep = np.abs(np.diag(rr)) > 1e-12 * max(1.0, np.abs(rr).max())
+        cols = qq[:, : 6][:, keep[:6]]
+        o = np.zeros((mbn * br, q))
+        o[:, : cols.shape[1]] = cols[:, :q]
+        out[b] = o.reshape(mbn, br, q).transpose(1, 0, 2)
+    return out
+
+
+def bj2l_apply(inv_flat: jax.Array, yq3: jax.Array, ac_inv: jax.Array,
+               z: jax.Array) -> jax.Array:
+    """(M_BJ⁻¹ + Z A_c⁻¹ Zᵀ) z in lane-major, sharing one block transpose.
+
+    inv_flat: (nb, mb, mb) flat block inverses (device_bj.bj_apply_flat
+    layout); yq3: (nb, q, mb) per-block modes — q in the SUBLANE dim (a
+    (…, mbn, q=6) layout pads q to 128 lanes, 21× the logical bytes);
+    ac_inv: (nb·q, nb·q) dense coarse inverse, column index b·q + j
+    (coarse_matrix_host convention)."""
+    nb, mb, _ = inv_flat.shape
+    q = yq3.shape[1]
+    t, br, nrb = z.shape
+    mbn = mb // br
+    zb = z.reshape(t, br, nb, mbn).transpose(0, 2, 1, 3).reshape(t, nb, mb)
+    w = jnp.einsum("bDS,tbS->tbD", inv_flat, zb, precision=HIGHEST)
+    c = jnp.einsum("bqS,tbS->tbq", yq3, zb, precision=HIGHEST)
+    c = jnp.einsum("tc,cd->td", c.reshape(t, nb * q), ac_inv,
+                   precision=HIGHEST)
+    w = w + jnp.einsum("bqD,tbq->tbD", yq3, c.reshape(t, nb, q),
+                       precision=HIGHEST)
+    return (
+        w.reshape(t, nb, br, mbn).transpose(0, 2, 1, 3)
+         .reshape(t, br, nrb).astype(z.dtype)
+    )

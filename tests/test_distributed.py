@@ -660,3 +660,30 @@ class TestBJDedupe:
         )
         x, info = s.solve(b)
         assert _relres(a, x, b) < 1e-7
+
+
+class TestTwoLevelBJ:
+    """bj2l: block Jacobi + geometric-RBM (Nicolaides) coarse space
+    (precond/twolevel.py). The coarse correction must cut iterations vs
+    plain BJ — the per-block Dirichlet low modes provably cannot (they
+    vanish on block boundaries; kept as the algebraic fallback)."""
+
+    def test_iteration_cut_and_convergence(self):
+        from prealps_tpu.core.generators import elasticity3d
+
+        a = elasticity3d(10, 10, 10, heterogeneous=True)
+        rng = np.random.default_rng(1)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=4, tol=1e-8, maxiter=6000, variant="odir_fused",
+                          layout="tbn")
+        counts = {}
+        for pc, kw in (("block_jacobi", {}),
+                       ("bj2l", dict(grid=(11, 11, 10)))):
+            s = DistributedECG.build(
+                a, nshards=1, opts=opts, fmt="stencil", br=3,
+                precond=pc, block_size=128, **kw)
+            x, info = s.solve(b)
+            assert _relres(a, x, b) < 1e-7
+            counts[pc] = int(info["iters"])
+        # measured 329 -> 220 at this size; assert a real (>15%) cut
+        assert counts["bj2l"] < 0.85 * counts["block_jacobi"]
