@@ -130,7 +130,10 @@ def ecg_main(argv=None):
     p = _common_parser("Enlarged CG with block-Jacobi preconditioning")
     p.add_argument("--nblocks-per-shard", type=int, default=1)
     p.add_argument("--precond", default="block_jacobi",
-                   choices=["block_jacobi", "chebyshev", "none"])
+                   choices=["block_jacobi", "bj2l", "chebyshev", "none"],
+                   help="bj2l = block Jacobi + geometric-RBM two-level "
+                        "coarse space (generated grids, fmt=stencil, "
+                        "layout=tbn)")
     args = p.parse_args(argv)
 
     from prealps_tpu.parallel.driver import DistributedECG
@@ -141,10 +144,17 @@ def ecg_main(argv=None):
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
                       variant=args.ortho_alg, adaptive=args.adaptive,
                       layout=args.layout)
+    kwargs = {}
+    if args.precond == "bj2l":
+        if args.matrix or not args.generate.startswith("ela"):
+            raise SystemExit("error: --precond bj2l needs a generated "
+                             "elasticity grid (--generate ela --size ...)")
+        nx, ny, nz = (int(v) for v in args.size.split("x"))
+        kwargs["grid"] = (nx + 1, ny + 1, nz)   # node dims (generators.py)
     solver = DistributedECG.build(
         a, nshards=args.nshards, opts=opts, precond=args.precond,
         nblocks_per_shard=args.nblocks_per_shard, dtype=_dtype_of(args),
-        fmt=args.fmt,
+        fmt=args.fmt, **kwargs,
     )
     t0 = time.time()
     x, info = solver.solve(b)

@@ -341,7 +341,6 @@ class DistributedECG:
                          if scale_d is not None else None)
                 y5_host = geometric_rbm_modes(
                     grid, br, n_pad // br, mbn, scale_d=d_pad)
-                y5 = jnp.asarray(y5_host, dtype=dtype)
             else:
                 y5 = jax.jit(
                     block_low_modes, static_argnames=("q", "iters")
