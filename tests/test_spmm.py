@@ -272,3 +272,67 @@ class TestDiaEll:
         y[...] = y_perm
         ref = (ashuf @ x)[perm]
         np.testing.assert_allclose(y, ref, rtol=1e-10, atol=1e-10)
+
+
+class TestPallasExtAndPlanar:
+    """New Pallas entry points: pre-extended-panel kernel (the solve's halo
+    path) and the planar flat-panel kernel + XLA reference."""
+
+    def test_ext_matches_dense_with_ring_halo(self, ela_small, rng):
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import (
+            panel_from_lane_major,
+            panel_to_lane_major,
+            stencil_pallas_bs_ext,
+        )
+
+        a = ela_small
+        st = csr_to_stencil_bsr_t(a, br=3, dtype=np.float64)
+        nrb = a.shape[0] // 3
+        halo = max(abs(o) for o in st.offsets)
+        x = rng.standard_normal((a.shape[0], 4))
+        xt = panel_to_lane_major(jnp.asarray(x), 3)
+        x_ext = jnp.concatenate(
+            [xt[:, :, nrb - halo:], xt, xt[:, :, :halo]], axis=2)
+        y = panel_from_lane_major(
+            stencil_pallas_bs_ext(st.blocks_t, st.offsets, x_ext, halo,
+                                  chunk=128, interpret=True))
+        np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12,
+                                   atol=1e-12)
+
+    def test_planar_matches_ref_and_dense(self, rng):
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.core.layout import (
+            contiguous_row_layout,
+            pad_to_padded,
+            permute_and_pad_matrix,
+            unpad_from_padded,
+        )
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import (
+            stencil_blocks_planar,
+            stencil_spmm_planar,
+            stencil_spmm_planar_ref,
+        )
+
+        a = elasticity3d(6, 6, 6, heterogeneous=True)
+        br, chunk = 3, 128
+        lay = contiguous_row_layout(a.shape[0], 1, row_multiple=br * chunk)
+        a_pad = permute_and_pad_matrix(a, lay)
+        st = csr_to_stencil_bsr_t(a_pad, br=br, dtype=np.float64)
+        nrb = st.blocks_t.shape[-1]
+        b3 = stencil_blocks_planar(st.blocks_t)
+        x = rng.standard_normal(a.shape[0])
+        xp = pad_to_padded(lay, x)
+        x2 = jnp.asarray(
+            np.ascontiguousarray(xp.reshape(-1, br).T).reshape(1, -1))
+        y_ref = stencil_spmm_planar_ref(b3, x2, offsets=st.offsets, br=br,
+                                        nrb=nrb)
+        y_pal = stencil_spmm_planar(b3, x2, offsets=st.offsets, br=br,
+                                    nrb=nrb, chunk=chunk, interpret=True)
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                   rtol=1e-12, atol=1e-12)
+        y_nat = unpad_from_padded(
+            lay, np.ascontiguousarray(
+                np.asarray(y_ref).reshape(br, nrb).T).reshape(-1))
+        np.testing.assert_allclose(y_nat, a @ x, rtol=1e-10, atol=1e-10)
