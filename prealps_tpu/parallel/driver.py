@@ -320,8 +320,7 @@ class DistributedECG:
                 coarse_matrix_host,
             )
 
-            assert fmt == "stencil" and nshards == 1, \
-                "bj2l currently targets the single-chip stencil path"
+            assert fmt == "stencil", "bj2l requires the stencil format"
             q_modes = int(os.environ.get("PREALPS_BJ2L_Q", "6"))
             inv5 = jax.jit(
                 build_device_block_jacobi, static_argnames=("mbn", "method")
@@ -665,7 +664,8 @@ class DistributedECG:
 
                 inv_f_loc, yq3_loc, ac_inv_loc = bj_ops
                 m_apply = lambda z: bj2l_apply(
-                    inv_f_loc, yq3_loc, ac_inv_loc, z)
+                    inv_f_loc, yq3_loc, ac_inv_loc, z,
+                    axis_name=AXIS if nshards > 1 else None)
             elif precond_kind == "bj_dedup":
                 from prealps_tpu.direct.device_bj import bj_apply_grouped
 

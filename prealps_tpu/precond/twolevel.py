@@ -161,14 +161,20 @@ def geometric_rbm_modes(grid, br: int, nrb: int, mbn: int,
 
 
 def bj2l_apply(inv_flat: jax.Array, yq3: jax.Array, ac_inv: jax.Array,
-               z: jax.Array) -> jax.Array:
+               z: jax.Array, axis_name=None) -> jax.Array:
     """(M_BJ⁻¹ + Z A_c⁻¹ Zᵀ) z in lane-major, sharing one block transpose.
 
     inv_flat: (nb, mb, mb) flat block inverses (device_bj.bj_apply_flat
     layout); yq3: (nb, q, mb) per-block modes — q in the SUBLANE dim (a
     (…, mbn, q=6) layout pads q to 128 lanes, 21× the logical bytes);
-    ac_inv: (nb·q, nb·q) dense coarse inverse, column index b·q + j
-    (coarse_matrix_host convention)."""
+    ac_inv: (nb_glob·q, nb_glob·q) dense coarse inverse, column index
+    b·q + j (coarse_matrix_host convention).
+
+    Under shard_map (axis_name set): inv_flat/yq3/z hold this shard's
+    blocks, ac_inv is replicated; the coarse residual Zᵀz (nb·q·t numbers —
+    tiny) is all-gathered, the dense coarse solve is replicated, and each
+    shard applies only its local Z columns — the reference's rooted
+    reduce/solve/bcast (lorasc.c:521-558) as a gather + replicated GEMM."""
     nb, mb, _ = inv_flat.shape
     q = yq3.shape[1]
     t, br, nrb = z.shape
@@ -176,8 +182,13 @@ def bj2l_apply(inv_flat: jax.Array, yq3: jax.Array, ac_inv: jax.Array,
     zb = z.reshape(t, br, nb, mbn).transpose(0, 2, 1, 3).reshape(t, nb, mb)
     w = jnp.einsum("bDS,tbS->tbD", inv_flat, zb, precision=HIGHEST)
     c = jnp.einsum("bqS,tbS->tbq", yq3, zb, precision=HIGHEST)
-    c = jnp.einsum("tc,cd->td", c.reshape(t, nb * q), ac_inv,
-                   precision=HIGHEST)
+    c = c.reshape(t, nb * q)
+    if axis_name is not None:
+        c = jax.lax.all_gather(c, axis_name, axis=1, tiled=True)
+    c = jnp.einsum("tc,cd->td", c, ac_inv, precision=HIGHEST)
+    if axis_name is not None:
+        s = jax.lax.axis_index(axis_name)
+        c = jax.lax.dynamic_slice_in_dim(c, s * nb * q, nb * q, axis=1)
     w = w + jnp.einsum("bqD,tbq->tbD", yq3, c.reshape(t, nb, q),
                        precision=HIGHEST)
     return (

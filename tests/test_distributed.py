@@ -687,3 +687,23 @@ class TestTwoLevelBJ:
             counts[pc] = int(info["iters"])
         # measured 329 -> 220 at this size; assert a real (>15%) cut
         assert counts["bj2l"] < 0.85 * counts["block_jacobi"]
+
+    def test_multishard_matches_single(self):
+        """Sharded bj2l (all-gathered coarse residual + replicated coarse
+        solve) must reproduce the single-shard preconditioner exactly."""
+        from prealps_tpu.core.generators import elasticity3d
+
+        a = elasticity3d(8, 8, 8, heterogeneous=True)
+        rng = np.random.default_rng(2)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=4, tol=1e-8, maxiter=6000, variant="odir_fused",
+                          layout="tbn")
+        counts = {}
+        for ns in (1, 4):
+            s = DistributedECG.build(
+                a, nshards=ns, opts=opts, fmt="stencil", br=3,
+                precond="bj2l", block_size=96, grid=(9, 9, 8))
+            x, info = s.solve(b)
+            assert _relres(a, x, b) < 1e-7
+            counts[ns] = int(info["iters"])
+        assert abs(counts[1] - counts[4]) <= 2
