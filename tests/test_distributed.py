@@ -706,4 +706,5 @@ class TestTwoLevelBJ:
             x, info = s.solve(b)
             assert _relres(a, x, b) < 1e-7
             counts[ns] = int(info["iters"])
-        assert abs(counts[1] - counts[4]) <= 2
+        # same preconditioner; reduction orders differ across meshes
+        assert abs(counts[1] - counts[4]) <= max(5, counts[1] // 20)
