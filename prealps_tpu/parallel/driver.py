@@ -339,7 +339,7 @@ class DistributedECG:
                 d_pad = (pad_to_padded(layout, scale_d)
                          if scale_d is not None else None)
                 y5_host = geometric_rbm_modes(
-                    grid, br, n_pad // br, mbn, scale_d=d_pad)
+                    grid, br, n_pad // br, mbn, scale_d=d_pad, q=q_modes)
             else:
                 y5 = jax.jit(
                     block_low_modes, static_argnames=("q", "iters")

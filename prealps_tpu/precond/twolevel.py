@@ -105,7 +105,8 @@ def coarse_apply(y5, ac_inv, r):
 
 def geometric_rbm_modes(grid, br: int, nrb: int, mbn: int,
                         scale_d: np.ndarray | None = None,
-                        perm: np.ndarray | None = None) -> np.ndarray:
+                        perm: np.ndarray | None = None,
+                        q: int | None = None) -> np.ndarray:
     """Per-block geometric rigid-body modes (the Nicolaides coarse space).
 
     The per-block LOW modes of the Dirichlet diagonal block vanish on the
@@ -123,14 +124,16 @@ def geometric_rbm_modes(grid, br: int, nrb: int, mbn: int,
     """
     nx, ny, nz = (int(g) for g in grid)
     nb = nrb // mbn
-    q = 3 * (br - 1) if br == 2 else 6 if br == 3 else br
+    if q is None:
+        q = 3 * (br - 1) if br == 2 else 6 if br == 3 else br
     n_nodes = nx * ny * nz
     j = np.arange(nrb)
     px = (j % nx).astype(np.float64)
     py = ((j // nx) % ny).astype(np.float64)
     pz = (j // (nx * ny)).astype(np.float64)
     pad = j >= n_nodes
-    modes = np.zeros((nrb, br, 6), dtype=np.float64)
+    nraw = 12 if (br == 3 and q > 6) else 6
+    modes = np.zeros((nrb, br, nraw), dtype=np.float64)
     # translations
     for k in range(min(br, 3)):
         modes[:, k, k] = 1.0
@@ -139,23 +142,34 @@ def geometric_rbm_modes(grid, br: int, nrb: int, mbn: int,
         modes[:, 1, 3], modes[:, 2, 3] = -pz, py     # about x
         modes[:, 0, 4], modes[:, 2, 4] = pz, -px     # about y
         modes[:, 0, 5], modes[:, 1, 5] = -py, px     # about z
+        if nraw == 12:
+            # linear STRAIN modes u = ε·p (symmetric ε): with translations
+            # and rotations these span all linear displacement fields —
+            # the next polynomial tier above rigid-body motion
+            modes[:, 0, 6] = px                       # exx
+            modes[:, 1, 7] = py                       # eyy
+            modes[:, 2, 8] = pz                       # ezz
+            modes[:, 0, 9], modes[:, 1, 9] = py, px   # exy
+            modes[:, 0, 10], modes[:, 2, 10] = pz, px # exz
+            modes[:, 1, 11], modes[:, 2, 11] = pz, py # eyz
     modes[pad] = 0.0
     if scale_d is not None:
         d = np.asarray(scale_d, dtype=np.float64).reshape(nrb, br)
         # scaled system Ã = D A D: near-null(Ã) = D⁻¹ · RBM
         modes /= np.where(d[:, :, None] == 0.0, 1.0, d[:, :, None])
         modes[pad] = 0.0
-    y = modes.reshape(nb, mbn, br, 6).transpose(0, 2, 1, 3)  # (nb, br, mbn, 6)
-    # centre the rotation arms per block and orthonormalise (condition of
-    # A_c); padded-only blocks fall back to identity-ish columns
+    y = modes.reshape(nb, mbn, br, nraw).transpose(0, 2, 1, 3)
+    # centre the arms per block and orthonormalise (condition of A_c);
+    # padded-only blocks fall back to identity-ish columns
     out = np.zeros((nb, br, mbn, q), dtype=np.float64)
     for b in range(nb):
-        m = y[b].transpose(1, 0, 2).reshape(mbn * br, 6)   # natural rows
+        m = y[b].transpose(1, 0, 2).reshape(mbn * br, nraw)  # natural rows
         qq, rr = np.linalg.qr(m)
         keep = np.abs(np.diag(rr)) > 1e-12 * max(1.0, np.abs(rr).max())
-        cols = qq[:, : 6][:, keep[:6]]
+        cols = qq[:, :nraw][:, keep[:nraw]]
         o = np.zeros((mbn * br, q))
-        o[:, : cols.shape[1]] = cols[:, :q]
+        ncols = min(cols.shape[1], q)
+        o[:, :ncols] = cols[:, :ncols]
         out[b] = o.reshape(mbn, br, q).transpose(1, 0, 2)
     return out
 
