@@ -249,6 +249,42 @@ def block_banded_solve(
     return jnp.swapaxes(w, 0, 1)
 
 
+def block_banded_solve_t(
+    fac: BlockBandedCholesky, v3: jax.Array, unroll: int | bool = True
+) -> jax.Array:
+    """t-major variant of block_banded_solve: v3 (nblk, P, t, bs).
+
+    TPU tiles the minor two dims to (8, 128); the (…, bs, t) vector layout
+    puts t≈12 in the lane dim and physically moves ~10× its logical bytes
+    through every scan step. (…, t, bs) keeps bs in lanes (dense) and only
+    pads t to the next sublane multiple. Factors are unchanged — identical
+    math to block_banded_solve, different vector einsum orientation."""
+    l_inv = jnp.swapaxes(fac.l_inv, 0, 1)   # (nblk, P, bs, bs)
+    m_off = jnp.swapaxes(fac.m_off, 0, 1)
+    P, t, bs = v3.shape[1], v3.shape[2], v3.shape[3]
+    zero = jnp.zeros((P, t, bs), v3.dtype)
+
+    def fwd(y_prev, inp):
+        l_inv_i, m_i, v_i = inp
+        rhs = v_i - jnp.einsum("pij,ptj->pti", m_i, y_prev, precision=HIGHEST)
+        y_i = jnp.einsum("pij,ptj->pti", l_inv_i, rhs, precision=HIGHEST)
+        return y_i, y_i
+
+    _, y = jax.lax.scan(fwd, zero, (l_inv, m_off, v3), unroll=unroll)
+
+    m_next = jnp.concatenate([m_off[1:], jnp.zeros_like(m_off[:1])], axis=0)
+
+    def bwd(w_next, inp):
+        l_inv_i, m_n, y_i = inp
+        rhs = y_i - jnp.einsum("pji,ptj->pti", m_n, w_next, precision=HIGHEST)
+        w_i = jnp.einsum("pji,ptj->pti", l_inv_i, rhs, precision=HIGHEST)
+        return w_i, w_i
+
+    _, w = jax.lax.scan(bwd, zero, (l_inv, m_next, y), reverse=True,
+                        unroll=unroll)
+    return w
+
+
 def block_banded_matvec(d: jax.Array, e: jax.Array, v: jax.Array) -> jax.Array:
     """y = A v for the block-banded (D, E) operator. v: (P, nblk, bs, t)."""
     y = jnp.einsum("pnij,pnjt->pnit", d, v, precision=HIGHEST)

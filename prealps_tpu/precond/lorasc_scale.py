@@ -44,7 +44,7 @@ from prealps_tpu.direct.banded import (
     BlockBandedCholesky,
     block_banded_cholesky,
     block_banded_matvec,
-    block_banded_solve,
+    block_banded_solve_t,
 )
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -272,50 +272,69 @@ class ScalableLorasc:
         return lorasc_apply(self.plan, self.operands, r)
 
 
-def _gather_int(plan: ArrowBandPlan, ops, rn_pad: jax.Array) -> jax.Array:
-    """(nrb+1, br, t) node-major -> interior band (P, nblk_i, bs_i, t)."""
-    t = rn_pad.shape[2]
-    vi = rn_pad[ops["int_nodes"]]                       # (P, nbn, br, t)
-    return vi.reshape(plan.nparts, plan.nblk_i, plan.bs_i, t)
+# Node-major intermediates are FLAT (nrb+1, br·t): TPU tiles the minor two
+# dims of every array to (8, 128), so a (nrb, br=3, t=12) layout physically
+# occupies (nrb, 8, 128) — 28× its logical bytes — and every gather/embed/
+# transpose of it moves that. The flat form pads only br·t -> the next lane
+# multiple. Interior band vectors are likewise t-MAJOR (nblk, P, t, bs):
+# (…, bs, t) would put t≈12 in lanes (~10× physical bytes through every
+# banded-solve scan step). Same math as the reference sweeps throughout.
 
 
-def _gather_sep(plan: ArrowBandPlan, ops, rn_pad: jax.Array) -> jax.Array:
-    """(nrb+1, br, t) -> separator dofs (ng_pad, t)."""
-    t = rn_pad.shape[2]
-    vg = rn_pad[ops["sep_nodes"]]                       # (nsn_pad, br, t)
+def _gather_int(plan: ArrowBandPlan, ops, rn2: jax.Array) -> jax.Array:
+    """(nrb+1, br·t) flat node-major -> interior band (nblk_i, P, t, bs_i)."""
+    t = rn2.shape[1] // plan.br
+    vi = rn2[ops["int_nodes"]]                      # (P, nbn, br·t)
+    vi = vi.reshape(plan.nparts, plan.nbn_i, plan.br, t)
+    vi = vi.transpose(0, 3, 1, 2).reshape(
+        plan.nparts, t, plan.nblk_i, plan.bs_i)
+    return vi.transpose(2, 0, 1, 3)
+
+
+def _gather_sep(plan: ArrowBandPlan, ops, rn2: jax.Array) -> jax.Array:
+    """(nrb+1, br·t) -> separator dofs (ng_pad, t)."""
+    t = rn2.shape[1] // plan.br
+    vg = rn2[ops["sep_nodes"]]                      # (nsn_pad, br·t)
     return vg.reshape(plan.ng_pad, t)
 
 
 def _embed_int(plan: ArrowBandPlan, ops, wb: jax.Array) -> jax.Array:
-    """Interior band (P, nblk_i, bs_i, t) -> node-major (nrb, br, t)."""
-    t = wb.shape[3]
-    w = wb.reshape(plan.nparts * plan.nbn_i, plan.br, t)
-    out = jnp.zeros((plan.nrb + 1, plan.br, t), wb.dtype)
+    """Interior band (nblk_i, P, t, bs_i) -> flat node-major (nrb, br·t)."""
+    t = wb.shape[2]
+    w = wb.transpose(1, 2, 0, 3).reshape(plan.nparts, t, plan.nbn_i, plan.br)
+    w = w.transpose(0, 2, 3, 1).reshape(
+        plan.nparts * plan.nbn_i, plan.br * t)
+    out = jnp.zeros((plan.nrb + 1, plan.br * t), wb.dtype)
     out = out.at[ops["int_nodes"].reshape(-1)].add(w)
     return out[:-1]
 
 
 def _embed_sep(plan: ArrowBandPlan, ops, zg: jax.Array) -> jax.Array:
-    """Separator dofs (ng_pad, t) -> node-major (nrb, br, t)."""
+    """Separator dofs (ng_pad, t) -> flat node-major (nrb, br·t)."""
     t = zg.shape[1]
-    w = zg.reshape(plan.nsn_pad, plan.br, t)
-    out = jnp.zeros((plan.nrb + 1, plan.br, t), zg.dtype)
+    w = zg.reshape(plan.nsn_pad, plan.br * t)
+    out = jnp.zeros((plan.nrb + 1, plan.br * t), zg.dtype)
     out = out.at[ops["sep_nodes"]].add(w)
     return out[:-1]
 
 
 def _to_node_major(r: jax.Array) -> jax.Array:
-    """(t, br, nrb) -> (nrb+1, br, t) with a trailing zero node (pad target)."""
-    rn = jnp.transpose(r, (2, 1, 0))
+    """(t, br, nrb) -> (nrb+1, br·t) flat, trailing zero node (pad target)."""
+    t, br, nrb = r.shape
+    rn = jnp.transpose(r, (2, 1, 0)).reshape(nrb, br * t)
     return jnp.concatenate([rn, jnp.zeros_like(rn[:1])], axis=0)
 
 
-def _from_node_major(rn: jax.Array) -> jax.Array:
-    """(nrb, br, t) -> (t, br, nrb)."""
-    return jnp.transpose(rn, (2, 1, 0))
+def _from_node_major(plan: ArrowBandPlan, rn2: jax.Array) -> jax.Array:
+    """(nrb, br·t) flat -> (t, br, nrb)."""
+    nrb = rn2.shape[0]
+    t = rn2.shape[1] // plan.br
+    return jnp.transpose(rn2.reshape(nrb, plan.br, t), (2, 1, 0))
 
 
 def _sep_band(plan: ArrowBandPlan, g: jax.Array) -> jax.Array:
+    """(ng_pad, t) -> (1, nblk_g, bs_g, t) (block_banded_matvec layout —
+    BUILD-path B·v only; the hot solves use the t-major layout below)."""
     return g.reshape(1, plan.nblk_g, plan.bs_g, -1)
 
 
@@ -323,10 +342,22 @@ def _sep_flat(plan: ArrowBandPlan, gb: jax.Array) -> jax.Array:
     return gb.reshape(plan.ng_pad, -1)
 
 
+def _sep_band_t(plan: ArrowBandPlan, g: jax.Array) -> jax.Array:
+    """(ng_pad, t) -> t-major band (nblk_g, 1, t, bs_g)."""
+    t = g.shape[1]
+    return g.reshape(plan.nblk_g, plan.bs_g, t).transpose(0, 2, 1)[:, None]
+
+
+def _sep_flat_t(plan: ArrowBandPlan, gb: jax.Array) -> jax.Array:
+    """(nblk_g, 1, t, bs_g) -> (ng_pad, t)."""
+    t = gb.shape[2]
+    return gb[:, 0].transpose(0, 2, 1).reshape(plan.ng_pad, t)
+
+
 def _agg_solve(plan, ops, g: jax.Array, unroll=True) -> jax.Array:
     fac = BlockBandedCholesky(ops["agg_linv"], ops["agg_moff"], ops["agg_failed"])
-    return _sep_flat(plan, block_banded_solve(fac, _sep_band(plan, g),
-                                              unroll=unroll))
+    return _sep_flat_t(plan, block_banded_solve_t(fac, _sep_band_t(plan, g),
+                                                  unroll=unroll))
 
 
 def _aii_solve(plan, ops, vb: jax.Array, unroll=True) -> jax.Array:
@@ -334,7 +365,7 @@ def _aii_solve(plan, ops, vb: jax.Array, unroll=True) -> jax.Array:
     path passes 1 — the solve sits inside Lanczos loop bodies there, and a
     fully unrolled body multiplies the (remote) compile time."""
     fac = BlockBandedCholesky(ops["aii_linv"], ops["aii_moff"], ops["aii_failed"])
-    return block_banded_solve(fac, vb, unroll=unroll)
+    return block_banded_solve_t(fac, vb, unroll=unroll)
 
 
 def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
@@ -349,7 +380,7 @@ def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
 
     # forward sweep: zi = Aii⁻¹ vi ; g = vg − Agi zi  (one SpMM)
     zi = _aii_solve(plan, ops, vi)
-    y = stencil_bsr_spmm_t(a_t, _from_node_major(_embed_int(plan, ops, zi)))
+    y = stencil_bsr_spmm_t(a_t, _from_node_major(plan, _embed_int(plan, ops, zi)))
     agi_zi = _gather_sep(plan, ops, _to_node_major(y))
     g = (vg - agi_zi) * ops["sep_mask"][:, None]
 
@@ -362,12 +393,12 @@ def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
     zg = zg * ops["sep_mask"][:, None]
 
     # backward sweep: wi = zi − Aii⁻¹ (Aig zg)  (one SpMM)
-    y2 = stencil_bsr_spmm_t(a_t, _from_node_major(_embed_sep(plan, ops, zg)))
+    y2 = stencil_bsr_spmm_t(a_t, _from_node_major(plan, _embed_sep(plan, ops, zg)))
     aig_zg = _gather_int(plan, ops, _to_node_major(y2))
     wi = zi - _aii_solve(plan, ops, aig_zg)
 
     w = _embed_int(plan, ops, wi) + _embed_sep(plan, ops, zg)
-    return _from_node_major(w)
+    return _from_node_major(plan, w)
 
 
 # ---------------------------------------------------------------------------
@@ -485,14 +516,14 @@ def build_scalable_lorasc(
         def s_apply_panel(v):
             # S V = Agg V − Agi Aii⁻¹ Aig V via two embedded stencil SpMMs;
             # v: (ng_pad, k) panel
-            vhat = _from_node_major(_embed_sep(plan, ops, v))
+            vhat = _from_node_major(plan, _embed_sep(plan, ops, v))
             y1 = stencil_bsr_spmm_t(ops["a_stencil"], vhat)
             y1n = _to_node_major(y1)
             agg_v = _gather_sep(plan, ops, y1n)
             aig_v = _gather_int(plan, ops, y1n)
             zi = _aii_solve(plan, ops, aig_v, unroll=1)
             y2 = stencil_bsr_spmm_t(
-                ops["a_stencil"], _from_node_major(_embed_int(plan, ops, zi))
+                ops["a_stencil"], _from_node_major(plan, _embed_int(plan, ops, zi))
             )
             agi_zi = _gather_sep(plan, ops, _to_node_major(y2))
             sv = (agg_v - agi_zi) * ops["sep_mask"][:, None]
