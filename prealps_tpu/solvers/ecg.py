@@ -359,11 +359,7 @@ _SX, _SR, _SP, _SPP, _SAP, _SAPP, _SZ = range(7)
 def _use_stacked(opts: "ECGOptions") -> bool:
     if opts.stacked is not None:
         return opts.stacked
-    return (
-        opts.layout == "tbn"
-        and opts.variant == "odir_fused"
-        and not opts.adaptive
-    )
+    return opts.layout == "tbn" and opts.variant == "odir_fused"
 
 
 def _is_stacked_state(state: "_State") -> bool:
@@ -403,12 +399,31 @@ def _iter_odir_fused_stacked(state, a_apply, m_apply, axis_name, opts,
     beta1 = jnp.einsum("dr,dk,ks->rs", ui, beta1_raw, ui, precision=HIGHEST)
     beta2 = jnp.einsum("dk,ks->ds", beta2_raw, ui, precision=HIGHEST)
 
+    # --- adaptive reduction (reference ecg.c:444-497): the SVD rotation R of
+    #     the direction block is ALSO a right-multiplication — it composes
+    #     into C instead of touching the panels. Rotated quantities:
+    #     P̃ = P·Ui·R, Ẑ·R = Z·(Ui R) − P·(Ui β₁ R) − P_prev·(β₂ R),
+    #     α̃ = Rᵀ α (rows re-masked) ---
+    eye = jnp.eye(t, dtype=dtype)
+    uiB1 = jnp.einsum("dr,rk->dk", ui, beta1, precision=HIGHEST)   # Ui·beta1
+    if opts.adaptive:
+        u_svd, sig, _ = jnp.linalg.svd(alpha)
+        t1 = jnp.sum((sig > red_tol).astype(jnp.int32))
+        bs = jnp.sum(mask).astype(jnp.int32)
+        do_red = (t1 > 0) & (t1 < bs)
+        new_bs = jnp.where(do_red, t1, bs)
+        mask = (jnp.arange(t) < new_bs).astype(dtype)
+        rot = jnp.where(do_red, u_svd, eye)
+        alpha = jnp.einsum("ij,ik->jk", rot, alpha,
+                           precision=HIGHEST) * mask[:, None]
+        ui = jnp.einsum("dr,rk->dk", ui, rot, precision=HIGHEST)
+        uiB1 = jnp.einsum("dr,rk->dk", uiB1, rot, precision=HIGHEST)
+        beta2 = jnp.einsum("dk,ks->ds", beta2, rot, precision=HIGHEST)
+
     # --- compose the iteration's panel algebra into C: W'_a = Σ_b W_b C[b,a]
     #     (C[b, d, a, r] = weight of old slot b, direction d in new slot a,
     #      direction r — right-multiplication convention of TBN.mix) ---
-    eye = jnp.eye(t, dtype=dtype)
     uiA = jnp.einsum("dr,rk->dk", ui, alpha, precision=HIGHEST)    # Ui·alpha
-    uiB1 = jnp.einsum("dr,rk->dk", ui, beta1, precision=HIGHEST)   # Ui·beta1
     act = mask[None, :]                 # scales NEW direction columns
     frz = 1.0 - mask[None, :]
     C = jnp.zeros((7, t, 7, t), dtype)
@@ -436,7 +451,7 @@ def _iter_odir_fused_stacked(state, a_apply, m_apply, axis_name, opts,
 
     best_res, stall = _track_stall(state, res, opts.stall_rtol)
     return state._replace(
-        x_blk=Wn, it=state.it + 1, res=res,
+        x_blk=Wn, mask=mask, it=state.it + 1, res=res,
         breakdown=state.breakdown | breakdown,
         history=state.history.at[state.it].set(res) if opts.record_history else state.history,
         best_res=best_res, stall=stall,

@@ -305,3 +305,29 @@ class TestStackedIteration:
         res = ecg_finalize(s2, normb_b, opts.layout)
         x = np.asarray(res.x).T.reshape(-1)
         assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+    def test_adaptive_matches_unstacked(self, ela_problem):
+        """ADAPT_BS composes into the stacked coefficient matrix (the SVD
+        rotation is one more right-multiplication); behavior must match the
+        unstacked adaptive path."""
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+
+        a, b = ela_problem
+        st = csr_to_stencil_bsr_t(a, br=3)
+        nrb = a.shape[0] // 3
+        b_lane = jnp.asarray(np.ascontiguousarray(b.reshape(nrb, 3).T))
+        out = {}
+        for stacked in (False, True):
+            opts = ECGOptions(t=8, tol=1e-8, maxiter=4000, layout="tbn",
+                              variant="odir_fused", adaptive=True,
+                              stacked=stacked)
+            res = jax.jit(
+                lambda bb, o=opts: ecg_solve(
+                    lambda v: stencil_bsr_spmm_t(st, v), None, bb, o)
+            )(b_lane)
+            x = np.asarray(res.x).T.reshape(-1)
+            assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-7
+            out[stacked] = (int(res.iters), int(res.bs))
+        assert abs(out[True][0] - out[False][0]) <= 2
+        assert out[True][1] == out[False][1]    # same final block size
