@@ -136,8 +136,17 @@ class DistributedECG:
             )
         mesh = make_mesh(nshards, AXIS)
         nshards = mesh.devices.size
+        lane_major = opts.layout == "tbn"
+        if lane_major and fmt not in ("stencil", "dia"):
+            raise ValueError("layout='tbn' requires fmt='stencil' or 'dia'")
+        if lane_major and fmt == "dia":
+            if nshards > 1:
+                raise ValueError(
+                    "fmt='dia' with layout='tbn' is single-shard "
+                    "(use layout='nt' for the distributed DIA path)")
+            br = 1      # a promoted-diagonal matrix is a br=1 stencil
         lane_major_bj = (
-            opts.layout == "tbn"
+            lane_major
             and precond in ("block_jacobi", "bj", "bj2l", "block_jacobi_2l")
         )
         mbn = None
@@ -179,9 +188,13 @@ class DistributedECG:
                     a.shape[0], nshards, row_multiple=mult
                 )
             else:
+                import math
+
                 # block-ELL halo exchange moves whole bk=128 column blocks;
                 # shard boundaries must not straddle a block
                 bell_mult = 128 if fmt in ("block_ell", "block_ell_xla") else 8
+                if mbn is not None:
+                    bell_mult = math.lcm(bell_mult, mbn * br)
                 layout = build_row_layout(a, nshards, row_multiple=bell_mult)
         a_pad = permute_and_pad_matrix(a, layout)
 
@@ -195,10 +208,28 @@ class DistributedECG:
         )
         from prealps_tpu.ops.spmm import block_ell_spmm, block_ell_spmm_pallas
 
-        lane_major = opts.layout == "tbn"
-        if lane_major and fmt != "stencil":
-            raise ValueError("layout='tbn' currently requires fmt='stencil'")
-        if fmt == "stencil":
+        if lane_major and fmt == "dia":
+            # general (non-grid) matrices on the LANE-MAJOR fast path: a
+            # promoted-diagonal matrix IS a br=1 stencil — the diagonals
+            # become blocks_t (D, 1, 1, n) and ride the same Pallas
+            # BlockSpec kernel, sublane-dense panels, and flat device block
+            # Jacobi as the grid operators. The (RCM-banded) straggler
+            # remainder applies row-major via one transposed gather panel.
+            from prealps_tpu.ops.formats import csr_to_dia_ell
+
+            de = csr_to_dia_ell(a_pad, min_fill=0.05, dtype=dtype)
+            stencil_offsets = de.offsets
+            nrb_tot = n_pad
+            nrb_loc = mpl
+            if de.rem is None:
+                rem_vals = jnp.zeros((n_pad, 1), dtype)
+                rem_cols = jnp.zeros((n_pad, 1), jnp.int32)
+            else:
+                rem_vals, rem_cols = de.rem.vals, de.rem.cols
+            mat_operands = (de.diags[:, None, None, :], rem_vals, rem_cols)
+            mat_specs = (P(None, None, None, AXIS), P(AXIS, None),
+                         P(AXIS, None))
+        elif fmt == "stencil":
             sbell = csr_to_stencil_bsr(a_pad, br=br, dtype=dtype)
             if sbell is None:
                 raise ValueError(
@@ -371,7 +402,11 @@ class DistributedECG:
                 csr_slab_groups,
             )
 
-            assert fmt == "stencil"
+            assert fmt in ("stencil", "dia")
+            # NOTE for fmt="dia": the blocks assemble from the PROMOTED
+            # DIAGONALS only — straggler remainder entries inside a block
+            # are left out of the preconditioner (it stays SPD for diagonally
+            # dominant remainders; block Jacobi is approximate regardless)
             grouping = (
                 csr_slab_groups(a_pad, mbn * br) if bj_slab_dedupe else None
             )
@@ -452,6 +487,12 @@ class DistributedECG:
                 # round-1 halo strategy: gather the whole X panel over ICI,
                 # then local SpMM on this shard's rows
                 if lane_major:
+                    if fmt == "dia":
+                        # br=1 stencil on the promoted diagonals + row-major
+                        # straggler remainder (single-shard; see build)
+                        blocks_t_loc, rv_loc, rc_loc = mat_ops
+                    else:
+                        (blocks_t_loc,) = mat_ops
                     # x_loc: (t, br, nrb_loc); node axis minor (TPU lanes).
                     # Halo exchange, not all-gather: the stencil only reaches
                     # ±h nodes, so each shard fetches h boundary nodes from
@@ -460,7 +501,6 @@ class DistributedECG:
                     # reference: utils/cplm_v0/cplm_v0_matmult_v2.c:182-321).
                     # Wrap-around halo entries multiply ZERO blocks (boundary
                     # rows have no neighbor there), so the ring is exact.
-                    (blocks_t_loc,) = mat_ops   # (S, br, br, nrb_loc)
                     t_dim = x_loc.shape[0]
                     halo = max(max(abs(o) for o in stencil_offsets), 0)
                     if halo <= nrb_loc and nshards > 1:
@@ -502,13 +542,25 @@ class DistributedECG:
                     if (jax.default_backend() == "tpu" and chunk_ >= halo
                             and os.environ.get(
                                 "PREALPS_STENCIL_IMPL", "pallas") == "pallas"):
-                        return stencil_pallas_bs_ext(
+                        y = stencil_pallas_bs_ext(
                             blocks_t_loc, stencil_offsets, x_ext, halo,
                             chunk=chunk_,
                         )
-                    return stencil_scan_accumulate(
-                        blocks_t_loc, stencil_offsets, x_ext, halo
-                    )
+                    else:
+                        y = stencil_scan_accumulate(
+                            blocks_t_loc, stencil_offsets, x_ext, halo
+                        )
+                    if fmt == "dia":
+                        # straggler remainder: one transposed (n, t) panel,
+                        # ELL gather, transpose back (rows not covered by
+                        # the promoted diagonals — RCM keeps them few)
+                        x_nt = x_loc[:, 0, :].T                  # (n, t)
+                        gathered = x_nt[rc_loc]                  # (n, L, t)
+                        y_rem = jnp.einsum(
+                            "ml,mlt->mt", rv_loc, gathered,
+                            precision=jax.lax.Precision.HIGHEST)
+                        y = y + y_rem.T[:, None, :]
+                    return y
                 if fmt == "dia":
                     diags_loc = mat_ops[0]       # (D, mpl)
                     # diagonal part: ring halo of x rows (wrap entries

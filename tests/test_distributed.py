@@ -708,3 +708,58 @@ class TestTwoLevelBJ:
             counts[ns] = int(info["iters"])
         # same preconditioner; reduction orders differ across meshes
         assert abs(counts[1] - counts[4]) <= max(5, counts[1] // 20)
+
+
+class TestDiaLaneMajor:
+    """fmt='dia' + layout='tbn': general (promoted-diagonal) matrices on the
+    lane-major fast path — a DIA matrix is a br=1 stencil, so it rides the
+    same kernels, sublane-dense panels, and flat device block Jacobi as the
+    grid operators; stragglers apply via one transposed ELL gather."""
+
+    def test_matches_row_major_dia(self):
+        from prealps_tpu.core.generators import elasticity3d
+
+        a = elasticity3d(8, 7, 7, heterogeneous=True)
+        rng = np.random.default_rng(1)
+        b = rng.standard_normal(a.shape[0])
+        res = {}
+        for layout in ("nt", "tbn"):
+            opts = ECGOptions(t=4, tol=1e-8, maxiter=4000,
+                              variant="odir_fused", layout=layout)
+            s = DistributedECG.build(a, nshards=1, opts=opts, fmt="dia",
+                                     precond="block_jacobi", block_size=120)
+            x, info = s.solve(b)
+            assert _relres(a, x, b) < 1e-7
+            res[layout] = int(info["iters"])
+        # same diagonals; BJ blocks differ slightly (dia assembles from
+        # promoted diagonals only) — allow a modest band
+        assert abs(res["tbn"] - res["nt"]) <= max(10, res["nt"] // 5)
+
+    def test_irregular_matrix_with_stragglers(self):
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(3)
+        n = 1200
+        main = sp.diags(
+            [np.full(n - 1, -1.0), np.full(n, 6.0), np.full(n - 1, -1.0),
+             np.full(n - 40, -0.5), np.full(n - 40, -0.5)],
+            offsets=[-1, 0, 1, 40, -40], format="csr")
+        pts = rng.choice(n * n, 300, replace=False)
+        rr, cc = pts // n, pts % n
+        extra = sp.coo_matrix((np.full(300, -0.05), (rr, cc)), shape=(n, n))
+        a = sp.csr_matrix(main + extra + extra.T)
+        b = rng.standard_normal(n)
+        opts = ECGOptions(t=4, tol=1e-8, maxiter=4000, variant="odir_fused",
+                          layout="tbn")
+        s = DistributedECG.build(a, nshards=1, opts=opts, fmt="dia",
+                                 precond="block_jacobi", block_size=64)
+        x, info = s.solve(b)
+        assert _relres(a, x, b) < 1e-7
+
+    def test_multishard_rejected(self):
+        from prealps_tpu.core.generators import elasticity3d
+
+        a = elasticity3d(6, 5, 5)
+        opts = ECGOptions(t=2, layout="tbn")
+        with pytest.raises(ValueError, match="single-shard"):
+            DistributedECG.build(a, nshards=2, opts=opts, fmt="dia")
