@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--nel", type=int, default=16)
     ap.add_argument("--t", default="1,4,8,12,16")
     ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--formats", default="stencil_t,stencil_t_pallas,ell,dia")
+    ap.add_argument("--formats", default="stencil_t,stencil_t_pallas,ell,dia,dia_tbn")
     args = ap.parse_args()
 
     import jax
@@ -55,12 +55,13 @@ def main():
     mats = {}
     if "ell" in fmts:
         mats["ell"] = csr_to_ell(a, dtype=dtype)
-    if "dia" in fmts:
+    if "dia" in fmts or "dia_tbn" in fmts:
         # hybrid DIA+ELL with automatic ordering: the general-matrix path
         # (no stencil block structure assumed)
         from prealps_tpu.ops.formats import csr_to_dia_ell_auto
 
         mats["dia"], _ = csr_to_dia_ell_auto(a, min_fill=0.05, dtype=dtype)
+        mats["dia_tbn"] = mats["dia"]
     if "stencil_t" in fmts or "stencil_t_pallas" in fmts:
         sb = csr_to_stencil_bsr_t(a, br=3, dtype=dtype)
         mats["stencil_t"] = sb
@@ -81,6 +82,41 @@ def main():
             elif name == "dia":
                 fn = jax.jit(lambda v: dia_ell_spmm(mats["dia"], v))
                 arg = x
+            elif name == "dia_tbn":
+                # lane-major br=1 stencil on the promoted diagonals +
+                # transposed straggler gather (parallel/driver.py dia+tbn)
+                de = mats["dia_tbn"]
+                d_t = de.diags[:, None, None, :]
+                halo_d = max(max(abs(o) for o in de.offsets), 0)
+                from prealps_tpu.ops.spmm import (
+                    stencil_pallas_bs_ext,
+                    stencil_pallas_chunk,
+                    stencil_scan_accumulate,
+                )
+
+                def dia_tbn_fn(v, de=de, d_t=d_t, halo_d=halo_d):
+                    nloc = v.shape[2]
+                    x_ext = jnp.concatenate(
+                        [v[:, :, nloc - halo_d:], v, v[:, :, :halo_d]],
+                        axis=2)
+                    chunk_ = stencil_pallas_chunk(
+                        v.shape[0], 1, d_t.shape[0])
+                    if platform == "tpu" and chunk_ >= halo_d:
+                        y = stencil_pallas_bs_ext(
+                            d_t, de.offsets, x_ext, halo_d, chunk=chunk_)
+                    else:
+                        y = stencil_scan_accumulate(
+                            d_t, de.offsets, x_ext, halo_d)
+                    if de.rem is not None:
+                        g = v[:, 0, :].T[de.rem.cols]
+                        y = y + jnp.einsum(
+                            "ml,mlt->mt", de.rem.vals, g,
+                            precision=jax.lax.Precision.HIGHEST).T[:, None]
+                    return y
+
+                fn = jax.jit(dia_tbn_fn)
+                arg = jnp.asarray(np.ascontiguousarray(
+                    np.asarray(x).T))[:, None, :]
             elif name == "stencil_t":
                 fn = jax.jit(lambda v: stencil_bsr_spmm_t(mats["stencil_t"], v))
                 arg = xt
