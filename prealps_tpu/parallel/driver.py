@@ -372,10 +372,29 @@ class DistributedECG:
                 y5_host = geometric_rbm_modes(
                     grid, br, n_pad // br, mbn, scale_d=d_pad, q=q_modes)
             else:
-                y5 = jax.jit(
-                    block_low_modes, static_argnames=("q", "iters")
-                )(inv5, q=q_modes)
-                y5_host = np.asarray(y5, dtype=np.float64)  # one-time D2H
+                # no grid: translations-only (constant-per-component) modes —
+                # the grid-free Nicolaides/aggregation coarse space. (The
+                # per-block Dirichlet low modes vanish on block boundaries
+                # and give no cut — measured; block_low_modes kept for
+                # reference/experiments.)
+                from prealps_tpu.core.layout import pad_to_padded
+
+                del block_low_modes  # documented-unhelpful here
+                nodes_pad = n_pad // br
+                ones = np.zeros((nodes_pad, br, br))
+                for k in range(br):
+                    ones[:, k, k] = 1.0
+                if scale_d is not None:
+                    d_pad = pad_to_padded(layout, scale_d).reshape(
+                        nodes_pad, br)
+                    ones /= np.where(d_pad[:, :, None] == 0.0, 1.0,
+                                     d_pad[:, :, None])
+                y = ones.reshape(nb_, mbn, br, br).transpose(0, 2, 1, 3)
+                y5_host = np.zeros((nb_, br, mbn, br))
+                for b_i in range(nb_):
+                    m = y[b_i].transpose(1, 0, 2).reshape(mbn * br, br)
+                    qq, _ = np.linalg.qr(m)
+                    y5_host[b_i] = qq.reshape(mbn, br, br).transpose(1, 0, 2)
             ac = coarse_matrix_host(a_pad, y5_host, br)
             # padded rows carry identity diagonal blocks; their modes are
             # harmless but can make A_c ill-conditioned — regularise lightly
