@@ -23,9 +23,16 @@ def main():
     ap.add_argument("--shards", default="1,2,4,8")
     ap.add_argument("--t", type=int, default=8)
     ap.add_argument("--maxiter", type=int, default=60)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the 8-virtual-device CPU mesh (e.g. when "
+                         "no TPU is attached)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
 
     jax.config.update("jax_default_matmul_precision", "highest")
 
