@@ -40,7 +40,32 @@ def main():
         return 1
 
 
+def _probe_backend_alive(timeout_s: int = 180) -> bool:
+    """The remote-attach TPU backend can go UNAVAILABLE (observed: backend
+    init hangs indefinitely). Probe it in a SUBPROCESS with a timeout so the
+    bench can fall back to the CPU backend instead of hanging forever."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _main():
+    import os as _os
+
+    if (_os.environ.get("JAX_PLATFORMS") not in (None, "", "cpu")
+            and not _probe_backend_alive()):
+        _log("accelerator backend unavailable (probe timed out) — "
+             "falling back to CPU")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     # true-f32 MXU accumulation everywhere (bf16 passes break CG convergence)
