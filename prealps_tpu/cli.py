@@ -16,6 +16,17 @@ import time
 import numpy as np
 
 
+def _resolve_layout(args):
+    """Default layout: the lane-major fast path on TPU where the format
+    supports it, row-major elsewhere."""
+    if args.layout is not None:
+        return args.layout
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return "tbn" if (on_tpu and args.fmt in ("stencil", "dia")) else "nt"
+
+
 def _load_matrix(args):
     import os
 
@@ -75,8 +86,9 @@ def _common_parser(desc):
     p.add_argument("--nshards", type=int, default=1)
     p.add_argument("--fmt", default="ell",
                    choices=["ell", "dia", "stencil", "block_ell", "block_ell_xla"])
-    p.add_argument("--layout", default="nt", choices=["nt", "tbn"],
-                   help="panel layout (tbn = lane-major TPU fast path)")
+    p.add_argument("--layout", default=None, choices=[None, "nt", "tbn"],
+                   help="panel layout (tbn = lane-major TPU fast path; "
+                        "default: tbn on TPU for stencil/dia, nt otherwise)")
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--rhs", help="right-hand-side vector file (one value per "
@@ -143,7 +155,7 @@ def ecg_main(argv=None):
     b = _load_rhs(args, a.shape[0])
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
                       variant=args.ortho_alg, adaptive=args.adaptive,
-                      layout=args.layout)
+                      layout=_resolve_layout(args))
     kwargs = {}
     if args.precond == "bj2l":
         if args.matrix or not args.generate.startswith("ela"):
