@@ -140,10 +140,6 @@ class DistributedECG:
         if lane_major and fmt not in ("stencil", "dia"):
             raise ValueError("layout='tbn' requires fmt='stencil' or 'dia'")
         if lane_major and fmt == "dia":
-            if nshards > 1:
-                raise ValueError(
-                    "fmt='dia' with layout='tbn' is single-shard "
-                    "(use layout='nt' for the distributed DIA path)")
             br = 1      # a promoted-diagonal matrix is a br=1 stencil
         lane_major_bj = (
             lane_major
@@ -226,9 +222,27 @@ class DistributedECG:
                 rem_cols = jnp.zeros((n_pad, 1), jnp.int32)
             else:
                 rem_vals, rem_cols = de.rem.vals, de.rem.cols
-            mat_operands = (de.diags[:, None, None, :], rem_vals, rem_cols)
-            mat_specs = (P(None, None, None, AXIS), P(AXIS, None),
-                         P(AXIS, None))
+            if nshards > 1:
+                # straggler remainder across shards: dep-based boundary-row
+                # exchange on the transposed (row-major) panel — same
+                # HaloPlan as the nt DIA path (comm ∝ cut edges)
+                from prealps_tpu.core.layout import build_halo_plan
+
+                halo_plan = build_halo_plan(
+                    layout, np.asarray(rem_cols), np.asarray(rem_vals))
+                halo_h = halo_plan.h
+                mat_operands = (
+                    de.diags[:, None, None, :], rem_vals,
+                    jnp.asarray(halo_plan.cols_local),
+                    jnp.asarray(halo_plan.send_idx),
+                )
+                mat_specs = (P(None, None, None, AXIS), P(AXIS, None),
+                             P(AXIS, None), P(AXIS, None, None))
+            else:
+                mat_operands = (de.diags[:, None, None, :], rem_vals,
+                                rem_cols)
+                mat_specs = (P(None, None, None, AXIS), P(AXIS, None),
+                             P(AXIS, None))
         elif fmt == "stencil":
             sbell = csr_to_stencil_bsr(a_pad, br=br, dtype=dtype)
             if sbell is None:
@@ -506,9 +520,11 @@ class DistributedECG:
                 # round-1 halo strategy: gather the whole X panel over ICI,
                 # then local SpMM on this shard's rows
                 if lane_major:
-                    if fmt == "dia":
+                    if fmt == "dia" and nshards > 1:
+                        blocks_t_loc, rv_loc, rc_loc, send_loc = mat_ops
+                    elif fmt == "dia":
                         # br=1 stencil on the promoted diagonals + row-major
-                        # straggler remainder (single-shard; see build)
+                        # straggler remainder
                         blocks_t_loc, rv_loc, rc_loc = mat_ops
                     else:
                         (blocks_t_loc,) = mat_ops
@@ -573,8 +589,16 @@ class DistributedECG:
                         # straggler remainder: one transposed (n, t) panel,
                         # ELL gather, transpose back (rows not covered by
                         # the promoted diagonals — RCM keeps them few)
-                        x_nt = x_loc[:, 0, :].T                  # (n, t)
-                        gathered = x_nt[rc_loc]                  # (n, L, t)
+                        x_nt = x_loc[:, 0, :].T                  # (m_loc, t)
+                        if nshards > 1:
+                            x_send = x_nt[send_loc[0]]
+                            x_recv = jax.lax.all_to_all(
+                                x_send, AXIS, split_axis=0, concat_axis=0,
+                                tiled=True)
+                            x_nt = jnp.concatenate(
+                                [x_nt, x_recv.reshape(nshards * halo_h, -1)],
+                                axis=0)
+                        gathered = x_nt[rc_loc]                  # (m_loc, L, t)
                         y_rem = jnp.einsum(
                             "ml,mlt->mt", rv_loc, gathered,
                             precision=jax.lax.Precision.HIGHEST)

@@ -756,10 +756,17 @@ class TestDiaLaneMajor:
         x, info = s.solve(b)
         assert _relres(a, x, b) < 1e-7
 
-    def test_multishard_rejected(self):
+    def test_multishard_converges(self):
+        """Distributed dia+tbn: ring halo for the diagonals + dep-based
+        all_to_all for the straggler remainder on the transposed panel."""
         from prealps_tpu.core.generators import elasticity3d
 
-        a = elasticity3d(6, 5, 5)
-        opts = ECGOptions(t=2, layout="tbn")
-        with pytest.raises(ValueError, match="single-shard"):
-            DistributedECG.build(a, nshards=2, opts=opts, fmt="dia")
+        a = elasticity3d(8, 7, 7, heterogeneous=True)
+        rng = np.random.default_rng(5)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=4, tol=1e-8, maxiter=4000, variant="odir_fused",
+                          layout="tbn")
+        s = DistributedECG.build(a, nshards=4, opts=opts, fmt="dia",
+                                 precond="block_jacobi", block_size=120)
+        x, info = s.solve(b)
+        assert _relres(a, x, b) < 1e-7
