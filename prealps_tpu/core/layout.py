@@ -251,7 +251,10 @@ def build_halo_plan(
             cq = needed[s][q]
             sel = o == q
             if cq.size and np.any(sel):
-                pos = np.searchsorted(cq, c[sel])
+                # Padding (zero-value) slots may reference off-shard columns
+                # absent from cq; clamp so the remapped index stays inside
+                # the gather buffer (value is zero, so result is unaffected).
+                pos = np.minimum(np.searchsorted(cq, c[sel]), cq.size - 1)
                 out[sel] = mpl + q * h + pos
             elif np.any(sel):  # only padding slots can point off-shard unused
                 out[sel] = 0
@@ -333,7 +336,8 @@ def build_block_halo_plan(
             cq = needed[s][q]
             sel = o == q
             if cq.size and np.any(sel):
-                pos = np.searchsorted(cq, c[sel])
+                # Clamp like build_halo_plan: padding slots must stay in-buffer.
+                pos = np.minimum(np.searchsorted(cq, c[sel]), cq.size - 1)
                 out[sel] = nblk_loc + q * hb + pos
             elif np.any(sel):  # only padding slots can point off-shard unused
                 out[sel] = 0

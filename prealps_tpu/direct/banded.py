@@ -446,12 +446,12 @@ def block_banded_schur(
     eye = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), (P, bs, bs))
 
     def step(carry, de):
-        l_inv_prev, _ = carry
+        l_inv_prev, bad_prev = carry
         d_i, e_i = de
         m_i = jnp.einsum("pij,pkj->pik", e_i, l_inv_prev, precision=HIGHEST)
         s_i = d_i - jnp.einsum("pik,pjk->pij", m_i, m_i, precision=HIGHEST)
         l_i = jax.lax.linalg.cholesky(s_i, symmetrize_input=True)
-        bad = jnp.any(jnp.isnan(l_i))
+        bad = bad_prev | jnp.any(jnp.isnan(l_i))
         l_i = jnp.where(jnp.isnan(l_i), jnp.zeros_like(l_i), l_i)
         l_inv = jax.lax.linalg.triangular_solve(
             l_i, eye, left_side=True, lower=True

@@ -305,8 +305,6 @@ def csr_to_dia_ell(
     if dense.size > max_diags:
         order = np.argsort(counts[np.isin(uniq, dense)])[::-1]
         dense = np.sort(dense[order[:max_diags]])
-    dense_set = set(int(o) for o in dense)
-
     on_dia = np.isin(off, dense)
     diags = np.zeros((max(dense.size, 1), n), dtype=dtype)
     pos = {int(o): d for d, o in enumerate(dense)}

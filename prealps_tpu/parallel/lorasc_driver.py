@@ -121,6 +121,7 @@ class DistributedLorascECG:
         shift: float = 0.0,
         eig_resid_tol: float = 0.03,
         restarts: int = 5,
+        exact_schur: Optional[bool] = None,
     ) -> "DistributedLorascECG":
         # f32 solves need true-f32 MXU passes (bf16 breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -282,7 +283,39 @@ class DistributedLorascECG:
                 np.ix_(sep_pad_of[realg], sep_pad_of[realg])
             ]
         np.linalg.cholesky(agg_pad)   # fail fast if the separator is not SPD
-        agg_inv = np.linalg.inv(agg_pad)  # replicated GEMM apply (TPU-fast)
+
+        # Exact-Schur fallback (small/separator-dominated regimes): when the
+        # separator holds a large fraction of the rows, the S-vs-Agg pencil
+        # has no eigenvalues under deflation_tol and deflation-based LORASC
+        # degenerates (round-2 dryrun: 0 deflated pairs at n=300, ng=163).
+        # Solving with the EXACT dense Schur S = Agg − Agi Aii⁻¹ Aig makes
+        # the sweep an exact block-LDLᵀ solve — equivalent to deflating the
+        # whole pencil with σ=(1−λ)/λ. The reference reaches the same
+        # quality through its direct solvers (PRESC computes exact local
+        # Schur via partial factorization, mkl_pardiso_solver.c:131-141;
+        # LORASC factors Agg with MUMPS, lorasc.c:248-257). At the
+        # reference's regime (separator ≲10% of n) the deflation path runs.
+        if exact_schur is None:
+            exact_schur = bool(
+                ng_tot > 0 and ng_tot >= 0.25 * n and ng_tot <= 8192
+            )
+        if exact_schur:
+            s_pad = agg_pad.copy()
+            corr = np.zeros((ng_tot, ng_tot))
+            for s in range(g_n):
+                i0, i1 = int(off[s]), int(off[s + 1])
+                if i1 == i0:
+                    continue
+                aii_s = aii[i0:i1, i0:i1].tocsc()
+                aig_s = aig[i0:i1, :].toarray()
+                corr += agi[:, i0:i1] @ sp.linalg.spsolve(
+                    aii_s, aig_s
+                ).reshape(i1 - i0, ng_tot)
+            pad_idx = arrow_sep_to_pad[:ng_tot]
+            s_pad[np.ix_(pad_idx, pad_idx)] -= corr
+            agg_inv = np.linalg.inv(s_pad)   # replicated S⁻¹ GEMM apply
+        else:
+            agg_inv = np.linalg.inv(agg_pad)  # replicated GEMM apply
         agg_csr = sp.csr_matrix(agg_pad)
         agg_w = max(int(np.diff(agg_csr.indptr).max()), 1)
         agg_ell_v, agg_ell_c = _ell_arrays(agg_csr, agg_w, dtype)
@@ -454,31 +487,39 @@ class DistributedLorascECG:
             theta, vecs, bnorm2, resid = rayleigh_ritz_refine(vecs, sv, bv)
             return theta, vecs, bnorm2, resid
 
-        lancz_fn = jax.jit(
-            _shard_map(
-                _lanczos_local, mesh=mesh,
-                in_specs=(specs, P(), P()),
-                out_specs=(P(), P(), P(), P()),
-                check_vma=False,
+        if exact_schur:
+            # S⁻¹ is applied directly (agg_inv above) — no correction term
+            e_mat = jnp.zeros((ng_pad, 1), dtype=dtype)
+            sigma = jnp.zeros((1,), dtype=dtype)
+            deflated = ng_tot
+        else:
+            lancz_fn = jax.jit(
+                _shard_map(
+                    _lanczos_local, mesh=mesh,
+                    in_specs=(specs, P(), P()),
+                    out_specs=(P(), P(), P(), P()),
+                    check_vma=False,
+                )
             )
-        )
-        v0 = jnp.asarray(sep_mask_np * 1e-2, dtype=dtype)
-        theta, vecs, bnorm2, resid = lancz_fn(
-            operands, jnp.asarray(sep_mask_np), v0
-        )
-        # filter unconverged Ritz pairs — they poison the correction (see
-        # precond/lorasc_scale.py selection note)
-        ok = (
-            (theta <= deflation_tol)
-            & (bnorm2 > 0.5)
-            & (resid <= eig_resid_tol * deflation_tol)
-        )
-        # dtype-aware σ cap — see precond/lorasc_scale.py selection note
-        _floor_frac = 0.1 if np.dtype(dtype) == np.float32 else 1e-4
-        lam_eff = jnp.maximum(theta, deflation_tol * _floor_frac)
-        sigma = jnp.where(ok, (deflation_tol - lam_eff) / lam_eff, 0.0).astype(dtype)
-        e_mat = (vecs * jnp.asarray(sep_mask_np)[:, None]).astype(dtype)
-        deflated = int(jnp.sum(ok))
+            v0 = jnp.asarray(sep_mask_np * 1e-2, dtype=dtype)
+            theta, vecs, bnorm2, resid = lancz_fn(
+                operands, jnp.asarray(sep_mask_np), v0
+            )
+            # filter unconverged Ritz pairs — they poison the correction (see
+            # precond/lorasc_scale.py selection note)
+            ok = (
+                (theta <= deflation_tol)
+                & (bnorm2 > 0.5)
+                & (resid <= eig_resid_tol * deflation_tol)
+            )
+            # dtype-aware σ cap — see precond/lorasc_scale.py selection note
+            _floor_frac = 0.1 if np.dtype(dtype) == np.float32 else 1e-4
+            lam_eff = jnp.maximum(theta, deflation_tol * _floor_frac)
+            sigma = jnp.where(
+                ok, (deflation_tol - lam_eff) / lam_eff, 0.0
+            ).astype(dtype)
+            e_mat = (vecs * jnp.asarray(sep_mask_np)[:, None]).astype(dtype)
+            deflated = int(jnp.sum(ok))
 
         operands["e_mat"] = e_mat
         operands["sigma"] = sigma

@@ -164,9 +164,12 @@ def geometric_rbm_modes(grid, br: int, nrb: int, mbn: int,
     out = np.zeros((nb, br, mbn, q), dtype=np.float64)
     for b in range(nb):
         m = y[b].transpose(1, 0, 2).reshape(mbn * br, nraw)  # natural rows
-        qq, rr = np.linalg.qr(m)
-        keep = np.abs(np.diag(rr)) > 1e-12 * max(1.0, np.abs(rr).max())
-        cols = qq[:, :nraw][:, keep[:nraw]]
+        # SVD-based column selection: kept columns are left singular
+        # vectors, guaranteed to lie in span(modes) even when the block is
+        # rank-deficient (unpivoted-QR Q columns past a rank drop need not).
+        uu, sv, _ = np.linalg.svd(m, full_matrices=False)
+        rank = int(np.sum(sv > 1e-12 * max(1.0, sv[0] if sv.size else 1.0)))
+        cols = uu[:, :rank]
         o = np.zeros((mbn * br, q))
         ncols = min(cols.shape[1], q)
         o[:, :ncols] = cols[:, :ncols]

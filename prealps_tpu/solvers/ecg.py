@@ -81,7 +81,9 @@ class ECGOptions:
                                  # Gram matmul + one panel GEMM (the TPU
                                  # fast path; see _iter_odir_fused_stacked).
                                  # Auto-enabled for layout="tbn" +
-                                 # variant="odir_fused" without adaptive.
+                                 # variant="odir_fused"; handles adaptive
+                                 # too (the SVD rotation composes into the
+                                 # coefficient GEMM).
 
     def __post_init__(self):
         if self.t < 1:

@@ -333,7 +333,7 @@ class TestHaloExchange:
         np.testing.assert_allclose(y, a_pad @ x, rtol=1e-12, atol=1e-12)
 
 
-class TestTwoLevelMesh:
+class TestTwoLevelMeshSolve:
     """End-to-end solve on a 2-axis ("shards","local") mesh — the analog of
     the reference's masterLevel/localLevel split (preAlps_utils.c:687,
     multilevel Aii lorasc.c:222-256)."""

@@ -104,7 +104,7 @@ class TestLFAT5Parity:
 
 class TestElasticityParity:
     """Generated elasticity3d (the reference's elasticity3d_12x10x10_var
-    analog; reference config: -o 0 -r 0 -e 4 over 8 процесс panels)."""
+    analog; reference config: -o 0 -r 0 -e 4 over 8 process panels)."""
 
     @pytest.mark.parametrize("variant", ["odir", "omin"])
     def test_iteration_count_band_e4(self, ela_small, variant):
