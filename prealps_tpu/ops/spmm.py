@@ -326,13 +326,23 @@ def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
         os.environ.get("PREALPS_STENCIL_IMPL") == "pallas"
         and jax.default_backend() == "tpu"
     ):
-        # VMEM budget picks the chunk: 3 x views + out (t·br·chunk each) +
-        # blocks (s·br²·chunk), double-buffered. Wide panels (the Lanczos
-        # S·V refinement applies the operator at t≈nev) would need a chunk
-        # below the halo — those fall back to the XLA path.
+        # Wide panels (the Lanczos S·V refinement applies the operator at
+        # t≈nev) would need a chunk below the halo — those fall back to the
+        # XLA path. The flat sublane-dense kernel is the fast path (0.16 ms
+        # vs 0.30 tiled at n=148k/t=12); layout conversions here cost two
+        # small relayouts — callers on the hot path (parallel/driver.py)
+        # pre-flatten instead.
         t_dim = xt.shape[0]
-        denom = (4 * t_dim * br + s_max * br * br) * 4 * 2
-        chunk = max((5_000_000 // denom) // 128 * 128, 128)
+        chunk_f = stencil_flat_chunk(t_dim, br, s_max)
+        if chunk_f >= halo:
+            bf = a.blocks_t.reshape(s_max * br * br, nrb)
+            xf = panel_to_flat_kmajor(xt)
+            x_ext = jnp.concatenate(
+                [xf[:, nrb - halo:], xf, xf[:, :halo]], axis=1)
+            yf = stencil_flat_ext(bf, a.offsets, x_ext, halo, br=br,
+                                  chunk=chunk_f)
+            return panel_from_flat_kmajor(yf, br)
+        chunk = stencil_pallas_chunk(t_dim, br, s_max)
         if chunk >= halo:
             return stencil_bsr_spmm_t_pallas_bs(a, xt, chunk=chunk)
     x_ext = jnp.concatenate(
@@ -737,3 +747,115 @@ def stencil_pallas_chunk(t_dim: int, br: int, s_max: int) -> int:
     t·br·chunk each, + the (s·br²·chunk) block tile, double-buffered)."""
     denom = (4 * t_dim * br + s_max * br * br) * 4 * 2
     return max((5_000_000 // denom) // 128 * 128, 128)
+
+
+# ---------------------------------------------------------------------------
+# Sublane-dense FLAT stencil kernel — the fastest measured formulation
+# ---------------------------------------------------------------------------
+#
+# TPU tiles the minor two dims of every array to (8, 128). The lane-major
+# block table (S, br, br, nrb) therefore physically streams 8/br of its
+# logical bytes (br=3 → 2.67×: 128 MB instead of 48 at n=148k), and each
+# (t, br, chunk) x view pads br→8 the same way. Flattening both kills the
+# padding: blocks as (S·br², nrb) rows (row = s·br² + m·br + k) and x as
+# (br·t, nodes) k-major rows tile densely. Differential-scan measurement on
+# the v5e (docs/PERFORMANCE.md round 3): 0.16 ms vs 0.30 ms for the
+# (t, br, chunk) BlockSpec kernel at n=148k/t=12 — within ~1.3× of the
+# 62 MB/measured-stream-rate roofline. This is the per-chip mkl_dcsrmm
+# role (reference: utils/cplm_light/cplm_kernels.c:620-671).
+
+
+def _stencil_flat_kernel(xm_ref, x0_ref, xp_ref, blocks_ref, out_ref,
+                         *, offsets, chunk, br, t_dim):
+    """One node chunk: blocks flat (S·br² rows, chunk), x views flat
+    k-major (br·t rows, chunk), out flat m-major (br·t rows, chunk)."""
+    xw = jnp.concatenate([xm_ref[...], x0_ref[...], xp_ref[...]], axis=1)
+    acc = [jnp.zeros((t_dim, chunk), jnp.float32) for _ in range(br)]
+    for s, off in enumerate(offsets):
+        lo = chunk + off
+        xs = jax.lax.slice_in_dim(xw, lo, lo + chunk, axis=1)  # (br·t, C)
+        for m in range(br):
+            a = acc[m]
+            for k in range(br):
+                xk = jax.lax.slice_in_dim(
+                    xs, k * t_dim, (k + 1) * t_dim, axis=0)
+                a = a + blocks_ref[s * br * br + m * br + k, :][None, :] * xk
+            acc[m] = a
+    for m in range(br):
+        out_ref[m * t_dim:(m + 1) * t_dim, :] = acc[m].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "halo", "br",
+                                             "chunk", "interpret"))
+def stencil_flat_ext(blocks_flat: jax.Array, offsets, x_ext: jax.Array,
+                     halo: int, br: int, chunk: int = 1536,
+                     interpret: bool = False) -> jax.Array:
+    """Flat stencil SpMM taking a PRE-EXTENDED k-major panel.
+
+    blocks_flat: (S·br², nrb) — row s·br² + m·br + k holds block entry
+    (m, k) of stencil offset s over all nodes (see stencil_blocks_flat).
+    x_ext: (br·t, nrb + 2·halo) k-major rows (row k·t + j = component k of
+    search direction j) with halos already attached. -> (br·t, nrb)."""
+    sbb, nrb = blocks_flat.shape
+    bt_rows = x_ext.shape[0]
+    t_dim = bt_rows // br
+    if chunk < halo:
+        chunk = -(-halo // 128) * 128
+    grid = -(-nrb // chunk)
+    nrb_pad = grid * chunk
+    lead = chunk - halo
+    tail = (grid + 2) * chunk - (lead + nrb + 2 * halo)
+    x_pad = jnp.concatenate(
+        [jnp.zeros((bt_rows, lead), x_ext.dtype), x_ext,
+         jnp.zeros((bt_rows, tail), x_ext.dtype)], axis=1,
+    )
+    blocks = blocks_flat
+    if nrb_pad != nrb:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((sbb, nrb_pad - nrb), blocks.dtype)], axis=1)
+    kernel = functools.partial(
+        _stencil_flat_kernel, offsets=offsets, chunk=chunk, br=br,
+        t_dim=t_dim,
+    )
+    xspec = lambda k: pl.BlockSpec(
+        (bt_rows, chunk), lambda i, _k=k: (0, i + _k))
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[xspec(0), xspec(1), xspec(2),
+                  pl.BlockSpec((sbb, chunk), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((bt_rows, chunk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((bt_rows, nrb_pad), x_ext.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sbb * nrb * t_dim,
+            bytes_accessed=(blocks.size + 4 * x_ext.size) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_pad, x_pad, x_pad, blocks)
+    return out[:, :nrb]
+
+
+def stencil_blocks_flat(blocks_t: jax.Array) -> jax.Array:
+    """(S, br, br, nrb) -> (S·br², nrb) sublane-dense block table."""
+    s, br, _, nrb = blocks_t.shape
+    return blocks_t.reshape(s * br * br, nrb)
+
+
+def panel_to_flat_kmajor(xt: jax.Array) -> jax.Array:
+    """(t, br, nrb) lane-major -> (br·t, nrb) k-major flat rows."""
+    t_dim, br, nrb = xt.shape
+    return xt.transpose(1, 0, 2).reshape(br * t_dim, nrb)
+
+
+def panel_from_flat_kmajor(yf: jax.Array, br: int) -> jax.Array:
+    """(br·t, nrb) k-major flat -> (t, br, nrb) lane-major."""
+    bt_rows, nrb = yf.shape
+    return yf.reshape(br, bt_rows // br, nrb).transpose(1, 0, 2)
+
+
+def stencil_flat_chunk(t_dim: int, br: int, s_max: int) -> int:
+    """VMEM-budget chunk for the flat kernel: 3 x views + xw concat + out
+    ((br·t)·chunk each) + the (S·br²·chunk) block tile, double-buffered."""
+    denom = (7 * t_dim * br + s_max * br * br) * 4 * 2
+    return max((6_000_000 // denom) // 128 * 128, 128)

@@ -141,6 +141,16 @@ class DistributedECG:
             raise ValueError("layout='tbn' requires fmt='stencil' or 'dia'")
         if lane_major and fmt == "dia":
             br = 1      # a promoted-diagonal matrix is a br=1 stencil
+        # sublane-dense flat block table for the Pallas flat kernel (TPU):
+        # (S·br², nrb) rows tile densely, vs 8/br physical waste for the
+        # (S, br, br, nrb) form — decided at build so the operand ships in
+        # the layout the traced kernel wants
+        use_flat_stencil = (
+            lane_major
+            and fmt in ("stencil", "dia")
+            and jax.default_backend() == "tpu"
+            and os.environ.get("PREALPS_STENCIL_IMPL", "pallas") == "pallas"
+        )
         lane_major_bj = (
             lane_major
             and precond in ("block_jacobi", "bj", "bj2l", "block_jacobi_2l")
@@ -231,17 +241,24 @@ class DistributedECG:
                 halo_plan = build_halo_plan(
                     layout, np.asarray(rem_cols), np.asarray(rem_vals))
                 halo_h = halo_plan.h
+                dia_blocks = (de.diags if use_flat_stencil
+                              else de.diags[:, None, None, :])
+                dia_spec = (P(None, AXIS) if use_flat_stencil
+                            else P(None, None, None, AXIS))
                 mat_operands = (
-                    de.diags[:, None, None, :], rem_vals,
+                    dia_blocks, rem_vals,
                     jnp.asarray(halo_plan.cols_local),
                     jnp.asarray(halo_plan.send_idx),
                 )
-                mat_specs = (P(None, None, None, AXIS), P(AXIS, None),
+                mat_specs = (dia_spec, P(AXIS, None),
                              P(AXIS, None), P(AXIS, None, None))
             else:
-                mat_operands = (de.diags[:, None, None, :], rem_vals,
-                                rem_cols)
-                mat_specs = (P(None, None, None, AXIS), P(AXIS, None),
+                dia_blocks = (de.diags if use_flat_stencil
+                              else de.diags[:, None, None, :])
+                dia_spec = (P(None, AXIS) if use_flat_stencil
+                            else P(None, None, None, AXIS))
+                mat_operands = (dia_blocks, rem_vals, rem_cols)
+                mat_specs = (dia_spec, P(AXIS, None),
                              P(AXIS, None))
         elif fmt == "stencil":
             sbell = csr_to_stencil_bsr(a_pad, br=br, dtype=dtype)
@@ -252,7 +269,14 @@ class DistributedECG:
             stencil_offsets = sbell.offsets
             nrb_tot = layout.n_pad // br
             nrb_loc = layout.rows_per_shard // br
-            if lane_major:
+            if lane_major and use_flat_stencil:
+                s_off = len(sbell.offsets)
+                blocks_flat = jnp.transpose(
+                    sbell.blocks, (1, 2, 3, 0)
+                ).reshape(s_off * br * br, nrb_tot)
+                mat_operands = (blocks_flat,)        # (S·br², nrb_tot)
+                mat_specs = (P(None, AXIS),)
+            elif lane_major:
                 blocks_t = jnp.transpose(sbell.blocks, (1, 2, 3, 0))
                 mat_operands = (blocks_t,)           # (S, br, br, nrb_tot)
                 mat_specs = (P(None, None, None, AXIS),)
@@ -346,6 +370,16 @@ class DistributedECG:
         else:
             raise ValueError(f"unknown fmt {fmt!r}")
 
+        # 4-D (S, br, br, nrb) view of the block table for build-time
+        # consumers (device BJ assembly) — the flat operand is a one-time
+        # reshape away
+        blocks_t_build = None
+        if lane_major and fmt in ("stencil", "dia"):
+            blocks_t_build = (
+                mat_operands[0].reshape(len(stencil_offsets), br, br, -1)
+                if use_flat_stencil else mat_operands[0]
+            )
+
         bj_mode = "cholesky"
         cheb_static = None
         bj_groups = None
@@ -369,7 +403,7 @@ class DistributedECG:
             q_modes = int(os.environ.get("PREALPS_BJ2L_Q", "6"))
             inv5 = jax.jit(
                 build_device_block_jacobi, static_argnames=("mbn", "method")
-            )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
+            )(blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
             nb_ = inv5.shape[0]
             mb_ = br * mbn
             inv_f = inv5.reshape(nb_, mb_, mb_)
@@ -452,7 +486,7 @@ class DistributedECG:
                 inv_u = jax.jit(
                     build_device_block_jacobi_grouped,
                     static_argnames=("mbn", "method", "rep_idx"),
-                )(mat_operands[0], stencil_offsets, mbn=mbn,
+                )(blocks_t_build, stencil_offsets, mbn=mbn,
                   rep_idx=rep_idx, method="chol")
                 bj_operands = (inv_u,)
                 bj_specs = (P(None, None, None, None, None),)
@@ -460,7 +494,7 @@ class DistributedECG:
             elif bj_dtype == "bf16":
                 inv5 = jax.jit(
                     build_device_block_jacobi, static_argnames=("mbn", "method")
-                )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
+                )(blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
                 inv5 = inv5.astype(jnp.bfloat16)
                 bj_operands = (inv5,)
                 bj_specs = (P(AXIS, None, None, None, None),)
@@ -475,7 +509,7 @@ class DistributedECG:
                 inv_f = jax.jit(
                     build_device_block_jacobi_flat,
                     static_argnames=("mbn", "method"),
-                )(mat_operands[0], stencil_offsets, mbn=mbn, method="chol")
+                )(blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
                 bj_operands = (inv_f,)
                 bj_specs = (P(AXIS, None, None),)
                 precond_kind = "bj_flat"
@@ -565,26 +599,51 @@ class DistributedECG:
                         stencil_scan_accumulate_df,
                     )
 
+                    from prealps_tpu.ops.spmm import (
+                        stencil_flat_chunk,
+                        stencil_flat_ext,
+                    )
+
+                    s_max_ = len(stencil_offsets)
+                    br_k = 1 if fmt == "dia" else br
+
+                    def _blocks_4d():
+                        if use_flat_stencil:
+                            return blocks_t_loc.reshape(
+                                s_max_, br_k, br_k, -1)
+                        return blocks_t_loc
+
                     if df:
                         return stencil_scan_accumulate_df(
-                            blocks_t_loc, stencil_offsets, x_ext, halo
+                            _blocks_4d(), stencil_offsets, x_ext, halo
                         )
-                    # the Pallas BlockSpec pipeline is the fast path on the
-                    # real chip (0.51 ms vs ~0.9 ms for the XLA scan at
-                    # n=148k/t=12, bit-exact); scan elsewhere / wide panels
-                    s_max_ = blocks_t_loc.shape[0]
-                    chunk_ = stencil_pallas_chunk(t_dim, br, s_max_)
-                    if (jax.default_backend() == "tpu" and chunk_ >= halo
-                            and os.environ.get(
-                                "PREALPS_STENCIL_IMPL", "pallas") == "pallas"):
-                        y = stencil_pallas_bs_ext(
-                            blocks_t_loc, stencil_offsets, x_ext, halo,
-                            chunk=chunk_,
+                    # the sublane-dense FLAT Pallas kernel is the fast path
+                    # on the real chip (0.16 ms vs 0.30 (t,br,chunk)-tiled
+                    # Pallas vs ~1.7 XLA scan at n=148k/t=12, bit-exact —
+                    # docs/PERFORMANCE.md); scan elsewhere / wide panels
+                    chunk_f = stencil_flat_chunk(t_dim, br_k, s_max_)
+                    if use_flat_stencil and chunk_f >= halo:
+                        x_ef = x_ext.transpose(1, 0, 2).reshape(
+                            br_k * t_dim, -1)
+                        yf = stencil_flat_ext(
+                            blocks_t_loc, stencil_offsets, x_ef, halo,
+                            br=br_k, chunk=chunk_f,
                         )
+                        y = yf.reshape(br_k, t_dim, -1).transpose(1, 0, 2)
                     else:
-                        y = stencil_scan_accumulate(
-                            blocks_t_loc, stencil_offsets, x_ext, halo
-                        )
+                        chunk_ = stencil_pallas_chunk(t_dim, br, s_max_)
+                        if (jax.default_backend() == "tpu" and chunk_ >= halo
+                                and os.environ.get(
+                                    "PREALPS_STENCIL_IMPL", "pallas")
+                                == "pallas"):
+                            y = stencil_pallas_bs_ext(
+                                _blocks_4d(), stencil_offsets, x_ext, halo,
+                                chunk=chunk_,
+                            )
+                        else:
+                            y = stencil_scan_accumulate(
+                                _blocks_4d(), stencil_offsets, x_ext, halo
+                            )
                     if fmt == "dia":
                         # straggler remainder: one transposed (n, t) panel,
                         # ELL gather, transpose back (rows not covered by

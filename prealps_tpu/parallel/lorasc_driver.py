@@ -50,6 +50,7 @@ from prealps_tpu.core.scaling import sym_rac_scaling
 from prealps_tpu.direct.banded import (
     assemble_host,
     block_banded_cholesky,
+    block_banded_solve,
     plan_block_banded,
     prepare_two_level,
 )
@@ -122,6 +123,7 @@ class DistributedLorascECG:
         eig_resid_tol: float = 0.03,
         restarts: int = 5,
         exact_schur: Optional[bool] = None,
+        agg_dense_max: int = 4096,
     ) -> "DistributedLorascECG":
         # f32 solves need true-f32 MXU passes (bf16 breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -274,16 +276,7 @@ class DistributedLorascECG:
             aig_vals[s, : v.shape[0]] = v
             aig_cols[s, : v.shape[0]] = arrow_sep_to_pad[c.ravel()].reshape(c.shape)
 
-        # --- Agg: padded dense Cholesky (replicated) + ELL for matvecs ---
-        agg_pad = np.eye(ng_pad)
-        agg_dense = agg.toarray() if ng_tot else np.zeros((0, 0))
-        idx = np.flatnonzero(realg)
-        if ng_tot:
-            agg_pad[np.ix_(idx, idx)] = agg_dense[
-                np.ix_(sep_pad_of[realg], sep_pad_of[realg])
-            ]
-        np.linalg.cholesky(agg_pad)   # fail fast if the separator is not SPD
-
+        # --- Agg (separator) solve: three regimes ----------------------
         # Exact-Schur fallback (small/separator-dominated regimes): when the
         # separator holds a large fraction of the rows, the S-vs-Agg pencil
         # has no eigenvalues under deflation_tol and deflation-based LORASC
@@ -299,26 +292,72 @@ class DistributedLorascECG:
             exact_schur = bool(
                 ng_tot > 0 and ng_tot >= 0.25 * n and ng_tot <= 8192
             )
-        if exact_schur:
-            s_pad = agg_pad.copy()
-            corr = np.zeros((ng_tot, ng_tot))
-            for s in range(g_n):
-                i0, i1 = int(off[s]), int(off[s + 1])
-                if i1 == i0:
-                    continue
-                aii_s = aii[i0:i1, i0:i1].tocsc()
-                aig_s = aig[i0:i1, :].toarray()
-                corr += agi[:, i0:i1] @ sp.linalg.spsolve(
-                    aii_s, aig_s
-                ).reshape(i1 - i0, ng_tot)
-            pad_idx = arrow_sep_to_pad[:ng_tot]
-            s_pad[np.ix_(pad_idx, pad_idx)] -= corr
-            agg_inv = np.linalg.inv(s_pad)   # replicated S⁻¹ GEMM apply
+        # Large separators (the reference's MUMPS regime, lorasc.c:248-257 /
+        # mumps_solver.c:83-90): block-banded Cholesky after separator RCM —
+        # n·band memory instead of the ng² dense inverse.
+        agg_banded = bool((not exact_schur) and ng_pad > agg_dense_max)
+
+        # ELL of the padded Agg (Lanczos B-matvecs) — no densification
+        agg_coo = agg.tocoo()
+        agg_r = arrow_sep_to_pad[agg_coo.row]
+        agg_c = arrow_sep_to_pad[agg_coo.col]
+        padg = np.flatnonzero(~realg)
+        agg_pad_csr = sp.coo_matrix(
+            (
+                np.concatenate([agg_coo.data, np.ones(padg.size)]),
+                (np.concatenate([agg_r, padg]), np.concatenate([agg_c, padg])),
+            ),
+            shape=(ng_pad, ng_pad),
+        ).tocsr()
+        agg_w = max(int(np.diff(agg_pad_csr.indptr).max()), 1)
+        agg_ell_v, agg_ell_c = _ell_arrays(agg_pad_csr, agg_w, dtype)
+
+        agg_inv = None
+        agg_fac = None
+        aband_perm = aband_inv = None
+        nblk_a = bs_a = rows_aband = 0
+        if agg_banded:
+            aplan = plan_block_banded([agg.tocsr()], order="rcm")
+            ad_np, ae_np = assemble_host(aplan, [agg.tocsr()], dtype=dtype)
+            agg_fac = jax.jit(
+                lambda d_, e_: block_banded_cholesky(d_, e_, shift=shift)
+            )(jnp.asarray(ad_np), jnp.asarray(ae_np))
+            if bool(jax.device_get(agg_fac.failed)):
+                raise FloatingPointError("separator (Agg) is not SPD")
+            nblk_a, bs_a = aplan.nblk, aplan.bs
+            rows_aband = aplan.rows_padded
+            # band pos -> padded sep coord (input gather); pad rows -> slot 0
+            aband_perm = np.zeros(rows_aband, dtype=np.int32)
+            aband_perm[:ng_tot] = arrow_sep_to_pad[aplan.perm[0, :ng_tot]]
+            # padded sep coord -> band pos (output gather); pad slots -> 0,
+            # masked back to the identity afterwards
+            aband_inv = np.zeros(ng_pad, dtype=np.int32)
+            aband_inv[arrow_sep_to_pad[:ng_tot]] = aplan.inv_perm[0, :ng_tot]
         else:
-            agg_inv = np.linalg.inv(agg_pad)  # replicated GEMM apply
-        agg_csr = sp.csr_matrix(agg_pad)
-        agg_w = max(int(np.diff(agg_csr.indptr).max()), 1)
-        agg_ell_v, agg_ell_c = _ell_arrays(agg_csr, agg_w, dtype)
+            agg_pad = np.eye(ng_pad)
+            idx = np.flatnonzero(realg)
+            if ng_tot:
+                agg_pad[np.ix_(idx, idx)] = agg.toarray()[
+                    np.ix_(sep_pad_of[realg], sep_pad_of[realg])
+                ]
+            np.linalg.cholesky(agg_pad)  # fail fast if Agg is not SPD
+            if exact_schur:
+                s_pad = agg_pad.copy()
+                corr = np.zeros((ng_tot, ng_tot))
+                for s in range(g_n):
+                    i0, i1 = int(off[s]), int(off[s + 1])
+                    if i1 == i0:
+                        continue
+                    aii_s = aii[i0:i1, i0:i1].tocsc()
+                    aig_s = aig[i0:i1, :].toarray()
+                    corr += agi[:, i0:i1] @ sp.linalg.spsolve(
+                        aii_s, aig_s
+                    ).reshape(i1 - i0, ng_tot)
+                pad_idx = arrow_sep_to_pad[:ng_tot]
+                s_pad[np.ix_(pad_idx, pad_idx)] -= corr
+                agg_inv = np.linalg.inv(s_pad)  # replicated S⁻¹ GEMM apply
+            else:
+                agg_inv = np.linalg.inv(agg_pad)  # replicated GEMM apply
 
         # --- factor interiors on device (the solve's in_specs shard them) ---
         fac2 = jax.jit(
@@ -338,7 +377,6 @@ class DistributedLorascECG:
             sep_slice_mask=jnp.asarray(sep_slice_mask),
             agi_vals=jnp.asarray(agi_vals), agi_cols=jnp.asarray(agi_cols),
             aig_vals=jnp.asarray(aig_vals), aig_cols=jnp.asarray(aig_cols),
-            agg_inv=jnp.asarray(agg_inv.astype(dtype)),
             agg_ell_v=jnp.asarray(agg_ell_v), agg_ell_c=jnp.asarray(agg_ell_c),
         )
         flat_rows = P((AXIS, LOC))
@@ -351,8 +389,39 @@ class DistributedLorascECG:
             int_mask=P(AXIS, None), sep_slice_mask=P(AXIS, None),
             agi_vals=P(AXIS, LOC, None), agi_cols=P(AXIS, LOC, None),
             aig_vals=P(AXIS, LOC, None), aig_cols=P(AXIS, LOC, None),
-            agg_inv=P(), agg_ell_v=P(), agg_ell_c=P(),
+            agg_ell_v=P(), agg_ell_c=P(),
         )
+        if agg_banded:
+            operands["agg_fac"] = agg_fac
+            operands["aband_perm"] = jnp.asarray(aband_perm)
+            operands["aband_inv"] = jnp.asarray(aband_inv)
+            operands["sep_real_mask"] = jnp.asarray(realg.astype(dtype))
+            specs["agg_fac"] = jax.tree_util.tree_map(lambda _: P(), agg_fac)
+            specs["aband_perm"] = P()
+            specs["aband_inv"] = P()
+            specs["sep_real_mask"] = P()
+        else:
+            operands["agg_inv"] = jnp.asarray(agg_inv.astype(dtype))
+            specs["agg_inv"] = P()
+
+        def _agg_solve(ops_d, g):
+            """Separator solve, (ng_pad, t) -> (ng_pad, t), replicated.
+            Dense path: one GEMM with the replicated inverse. Banded path:
+            RCM-permuted block-banded triangular solves (the MUMPS role,
+            n·band memory)."""
+            if not agg_banded:
+                return jnp.einsum(
+                    "gh,ht->gt", ops_d["agg_inv"], g, precision=HIGHEST
+                )
+            t_dim = g.shape[1]
+            gb = g[ops_d["aband_perm"]]
+            gb = gb.at[ng_tot:].set(0.0) if rows_aband > ng_tot else gb
+            zb = block_banded_solve(
+                ops_d["agg_fac"], gb.reshape(1, nblk_a, bs_a, t_dim)
+            )
+            z = zb.reshape(rows_aband, t_dim)[ops_d["aband_inv"]]
+            m = ops_d["sep_real_mask"][:, None]
+            return z * m + g * (1.0 - m)   # identity on padding slots
 
         both = (AXIS, LOC)
         rpl = rows_per_group // l_n           # rows per device
@@ -413,7 +482,7 @@ class DistributedLorascECG:
             zi = _aii_solve_grp(ops_d, vi)
             g = _sep_assemble(ops_d, vg, zi)
             corr = jnp.einsum("gk,gt->kt", e_mat, g, precision=HIGHEST)
-            zg = jnp.einsum("gh,ht->gt", ops_d["agg_inv"], g, precision=HIGHEST)
+            zg = _agg_solve(ops_d, g)
             zg = zg + jnp.einsum(
                 "gk,kt->gt", e_mat, corr * sigma[:, None], precision=HIGHEST
             )
@@ -462,9 +531,7 @@ class DistributedLorascECG:
                 )
 
             def op_apply(v):
-                return jnp.einsum(
-                    "gh,h->g", ops_d["agg_inv"], s_apply(v), precision=HIGHEST
-                )
+                return _agg_solve(ops_d, s_apply(v)[:, None])[:, 0]
 
             if restarts > 0:
                 lancz = lanczos_thick_restart(

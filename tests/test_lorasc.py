@@ -157,6 +157,28 @@ class TestDistributedLorasc:
         assert _relres(ela_small, x1, b) < 1e-5
         assert i1["iters"] < i2["iters"], (i1["iters"], i2["iters"])
 
+    def test_banded_agg_matches_dense(self, ela_small, rng):
+        """Large-separator regime (the reference's MUMPS role,
+        mumps_solver.c:83-90 + lorasc.c:248-257): the RCM block-banded Agg
+        factorization must reproduce the dense-inverse path — agg_dense_max
+        forces it at test size (separator 208 > 64)."""
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s_band = DistributedLorascECG.build(
+            ela_small, nshards=4, opts=opts, exact_schur=False,
+            agg_dense_max=64,
+        )
+        s_dense = DistributedLorascECG.build(
+            ela_small, nshards=4, opts=opts, exact_schur=False,
+        )
+        x1, i1 = s_band.solve(b)
+        x2, i2 = s_dense.solve(b)
+        assert _relres(ela_small, x1, b) < 1e-5
+        assert i1["iters"] == i2["iters"]
+        assert s_band.deflated == s_dense.deflated
+
     def test_deflation_path_still_converges_when_forced(self, ela_small, rng):
         """exact_schur=False pins the Lanczos-deflation path (the at-scale
         configuration) even on matrices where the auto rule picks exact."""

@@ -336,3 +336,55 @@ class TestPallasExtAndPlanar:
             lay, np.ascontiguousarray(
                 np.asarray(y_ref).reshape(br, nrb).T).reshape(-1))
         np.testing.assert_allclose(y_nat, a @ x, rtol=1e-10, atol=1e-10)
+
+
+class TestPallasFlatStencil:
+    """Sublane-dense flat stencil kernel (blocks (S·br², nrb), x k-major
+    (br·t, nrb)) — the round-3 TPU fast path — vs dense reference."""
+
+    @pytest.mark.parametrize("chunk", [128, 512])
+    def test_matches_dense(self, ela_small, rng, chunk):
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import (
+            panel_from_flat_kmajor,
+            panel_from_lane_major,
+            panel_to_flat_kmajor,
+            panel_to_lane_major,
+            stencil_blocks_flat,
+            stencil_flat_ext,
+        )
+
+        a = ela_small
+        st = csr_to_stencil_bsr_t(a, br=3, dtype=np.float64)
+        nrb = a.shape[0] // 3
+        halo = max(abs(o) for o in st.offsets)
+        x = rng.standard_normal((a.shape[0], 4))
+        xt = panel_to_lane_major(jnp.asarray(x), 3)
+        xf = panel_to_flat_kmajor(xt)
+        x_ext = jnp.concatenate(
+            [xf[:, nrb - halo:], xf, xf[:, :halo]], axis=1)
+        bf = stencil_blocks_flat(st.blocks_t)
+        yf = stencil_flat_ext(bf, st.offsets, x_ext, halo, br=3,
+                              chunk=chunk, interpret=True)
+        y = panel_from_lane_major(panel_from_flat_kmajor(yf, 3))
+        np.testing.assert_allclose(np.asarray(y), a @ x, rtol=1e-12,
+                                   atol=1e-12)
+
+    def test_br1_dia_form(self, poisson_small, rng):
+        """br=1 (the fmt='dia' promoted-diagonal case)."""
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import stencil_flat_ext
+
+        a = poisson_small
+        st = csr_to_stencil_bsr_t(a, br=1, dtype=np.float64)
+        n = a.shape[0]
+        halo = max(abs(o) for o in st.offsets)
+        x = rng.standard_normal((n, 2))
+        xf = jnp.asarray(x.T)                       # (t, n) == k-major br=1
+        x_ext = jnp.concatenate(
+            [xf[:, n - halo:], xf, xf[:, :halo]], axis=1)
+        bf = st.blocks_t.reshape(len(st.offsets), n)
+        yf = stencil_flat_ext(bf, st.offsets, x_ext, halo, br=1,
+                              chunk=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(yf).T, a @ x, rtol=1e-12,
+                                   atol=1e-12)
