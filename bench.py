@@ -156,13 +156,16 @@ def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
 
     n, nnz = a.shape[0], a.nnz
     t0 = time.time()
-    if precond == "lorasc":
-        # scalable LORASC (banded interiors + thick-restart Lanczos deflation)
+    if precond in ("lorasc", "presc"):
+        # scalable LORASC (banded interiors + thick-restart Lanczos
+        # deflation); precond="presc" swaps the pencil to SSLOC (exact
+        # local Schur complements, reference presc.h:18-21)
         from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
 
         solver = StencilLorascECG.build(
             a, nparts=nparts, br=3, grid=(nel + 1, nel + 1, nel), opts=opts,
             dtype=dtype, max_deflation=max_deflation, inner_tol=inner_tol,
+            pencil="sloc" if precond == "presc" else "agg",
         )
     else:
         kwargs = dict(

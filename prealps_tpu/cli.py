@@ -191,6 +191,11 @@ def lorasc_main(argv=None):
                    help="at-scale banded LORASC for stencil operators "
                    "(block-banded interiors + thick-restart Lanczos "
                    "deflation; precond/lorasc_scale.py — the benchmark path)")
+    p.add_argument("--pencil", default="agg", choices=["agg", "sloc"],
+                   help="deflation pencil for --scalable: agg = LORASC "
+                   "(S u = λ Agg u, lorasc_eigsolve.c), sloc = PRESC SSLOC "
+                   "(S u = λ Sloc u with exact local Schur complements, "
+                   "presc.h:18-21 + presc.c:239-241)")
     p.add_argument("--max-deflation", type=int, default=64)
     args = p.parse_args(argv)
 
@@ -210,6 +215,7 @@ def lorasc_main(argv=None):
             a, nparts=args.nparts, opts=_dc_replace(opts, layout="tbn"),
             deflation_tol=args.deflation_tol,
             max_deflation=args.max_deflation, dtype=_dtype_of(args),
+            pencil=args.pencil,
         )
     elif args.precond == "lorasc" and (args.nshards > 1 or args.np_level1):
         from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG

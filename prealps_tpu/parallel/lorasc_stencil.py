@@ -55,6 +55,8 @@ class StencilLorascECG:
         refine: Optional[bool] = None,
         inner_tol: float = 1e-3,
         shift: float = 0.0,
+        pencil: str = "agg",   # "sloc" = scalable PRESC (SSLOC pencil,
+                               # reference presc.h:18-21)
     ) -> "StencilLorascECG":
         # true-f32 MXU passes (bf16 default silently breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -86,6 +88,7 @@ class StencilLorascECG:
             a, nparts=nparts, br=br, grid=grid,
             deflation_tol=deflation_tol, max_deflation=max_deflation,
             ncv=ncv, dtype=dtype, shift=shift, a_stencil=a_t,
+            pencil=pencil,
         )
 
         n = a.shape[0]

@@ -405,6 +405,187 @@ def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
 # build
 # ---------------------------------------------------------------------------
 
+def _sep_node_owners(node_graph: sp.csr_matrix, plan: ArrowBandPlan,
+                     part_arr: np.ndarray) -> np.ndarray:
+    """Owner part of each separator node = the part it couples to most
+    strongly (|A| mass; ties toward the lower id). Node-level analog of
+    presc.py::separator_owners (reference: the ODB structure keeps each
+    rank's separator rows local, preAlps_utils.c:521)."""
+    g = node_graph.tocsr()
+    owners = np.zeros(plan.nsn, dtype=np.int64)
+    fill = np.zeros(plan.nparts, dtype=np.int64)
+    for j in range(plan.nsn):
+        u = int(plan.sep_nodes[j])
+        cols = g.indices[g.indptr[u]: g.indptr[u + 1]]
+        vals = np.abs(g.data[g.indptr[u]: g.indptr[u + 1]])
+        parts = part_arr[cols]
+        mask = parts >= 0
+        if not np.any(mask):
+            owners[j] = int(np.argmin(fill))
+            fill[owners[j]] += 1
+            continue
+        w = np.zeros(plan.nparts)
+        np.add.at(w, parts[mask], vals[mask])
+        # near-ties (separator planes couple ~equally to both sides) go to
+        # the least-loaded candidate — "lower id wins" made part 0 own most
+        # of the separator (ns_max ~ nsn: quadratic memory + no parallelism;
+        # the reference splits the separator evenly, CPLM_nsplit)
+        cand = np.flatnonzero(w >= 0.99 * w.max())
+        owners[j] = int(cand[np.argmin(fill[cand])])
+        fill[owners[j]] += 1
+    return owners
+
+
+def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
+                         dtype):
+    """SSLOC pencil operands (reference: presc.h:18-21 + presc.c:239-241 —
+    the exact LOCAL Schur complements the reference extracts via the direct
+    solver's partial factorization, mkl_pardiso_solver.c:131-141).
+
+    Per part p: Sloc_p = Agg_pp − Agi_p Aii_p⁻¹ Aig_p over the separator
+    rows OWNED by p. Assembly runs on device: dense Aig panels are
+    scatter-built from the resident stencil blocks (host ships only small
+    int32 maps — the remote tunnel makes big host arrays prohibitive), the
+    W = Aii⁻¹ Aig panel rides the already-factored banded interiors, and
+    Sloc is one batched GEMM. Returns operands added to `dev` plus the
+    owned-dof gather/scatter index map."""
+    br = plan.br
+    part_arr = plan.part_arr
+    owners = _sep_node_owners(node_graph, plan, part_arr)
+    P = plan.nparts
+    counts = np.bincount(owners, minlength=P)
+    nso = max(int(counts.max()), 1)
+
+    # owned node lists + lookup: node id -> (owner, owned slot)
+    own_nodes = np.full((P, nso), plan.nrb, dtype=np.int64)   # pad -> nrb
+    owned_slot = np.full(plan.nrb + 1, nso, dtype=np.int64)   # dump slot
+    owner_of_node = np.full(plan.nrb + 1, -1, dtype=np.int64)
+    fill = np.zeros(P, dtype=np.int64)
+    for j in range(plan.nsn):
+        p = owners[j]
+        u = int(plan.sep_nodes[j])
+        own_nodes[p, fill[p]] = u
+        owned_slot[u] = fill[p]
+        owner_of_node[u] = p
+        fill[p] += 1
+
+    # owned dof -> separator band dof position (for gather/scatter of v):
+    # sep band dof of node at sep position q is q*br + k
+    sep_pos_of_node = np.full(plan.nrb + 1, plan.nsn_pad - 1, dtype=np.int64)
+    sep_pos_of_node[plan.sep_nodes[: plan.nsn]] = np.arange(plan.nsn)
+    own_mask = (own_nodes < plan.nrb)
+    own_pos = sep_pos_of_node[np.minimum(own_nodes, plan.nrb)]
+    own_dof = (own_pos[:, :, None] * br
+               + np.arange(br)[None, None, :]).reshape(P, nso * br)
+    own_dof_mask = np.repeat(own_mask, br, axis=1).astype(dtype)
+
+    offsets = a_stencil.offsets
+    S = len(offsets)
+    nbn = plan.nbn_i
+
+    # Aig scatter map: (S, P, nbn) owned slot of int_nodes + off, else dump
+    int_nodes = plan.int_nodes
+    aig_col = np.full((S, P, nbn), nso, dtype=np.int32)
+    valid_band = int_nodes < plan.nrb
+    for s, off in enumerate(offsets):
+        nb = int_nodes + off
+        ok = valid_band & (nb >= 0) & (nb < plan.nrb)
+        nb_c = np.where(ok, nb, plan.nrb)
+        same_owner = owner_of_node[nb_c] == np.arange(P)[:, None]
+        aig_col[s] = np.where(ok & same_owner,
+                              owned_slot[nb_c], nso).astype(np.int32)
+    # Agg_pp scatter map: (S, P, nso) owned slot of own_nodes + off
+    agg_col = np.full((S, P, nso), nso, dtype=np.int32)
+    for s, off in enumerate(offsets):
+        nb = own_nodes + off
+        ok = own_mask & (nb >= 0) & (nb < plan.nrb)
+        nb_c = np.where(ok, nb, plan.nrb)
+        same_owner = owner_of_node[nb_c] == np.arange(P)[:, None]
+        agg_col[s] = np.where(ok & same_owner,
+                              owned_slot[nb_c], nso).astype(np.int32)
+
+    int_nodes_c = jnp.asarray(np.minimum(int_nodes, plan.nrb - 1))
+    own_nodes_c = jnp.asarray(np.minimum(own_nodes, plan.nrb - 1))
+    band_ok = jnp.asarray(valid_band)
+    aig_col_d = jnp.asarray(aig_col)
+    agg_col_d = jnp.asarray(agg_col)
+
+    c = nso * br
+
+    @jax.jit
+    def _sloc_part(stencil, linv_p, moff_p, ints_p, bok_p, aigc_p,
+                   owns_p, omask_p, aggc_p):
+        """One part's Sloc (c, c). Compiled ONCE, executed per part — the
+        fully batched form's ~1.6 GB temporaries crashed the remote compile
+        helper at n=148k."""
+        bt = stencil.blocks_t
+        # Aig_p: (nbn, nso+1, br, br) scatter from the resident stencil
+        vals = jnp.transpose(bt[:, :, :, ints_p], (0, 3, 1, 2))
+        vals = (vals * bok_p[None, :, None, None]).astype(dtype)
+        aig = jnp.zeros((nbn, nso + 1, br, br), dtype)
+        bidx = jnp.arange(nbn)[None, :]
+        aig = aig.at[bidx, aigc_p].add(vals)
+        aig = aig[:, :nso]
+        aig_dof = jnp.transpose(aig, (0, 2, 1, 3)).reshape(nbn * br, c)
+
+        # Agg_pp: (nso, nso+1, br, br)
+        vals_g = jnp.transpose(bt[:, :, :, owns_p], (0, 3, 1, 2))
+        vals_g = (vals_g * omask_p[None, :, None, None]).astype(dtype)
+        agg = jnp.zeros((nso, nso + 1, br, br), dtype)
+        jidx = jnp.arange(nso)[None, :]
+        agg = agg.at[jidx, aggc_p].add(vals_g)
+        agg = agg[:, :nso]
+        agg_dof = jnp.transpose(agg, (0, 2, 1, 3)).reshape(c, c)
+
+        # W = Aii_p⁻¹ Aig_p on this part's banded factor (P-slice of 1)
+        fac = BlockBandedCholesky(linv_p, moff_p,
+                                  jnp.zeros((), jnp.bool_))
+        vb = aig_dof.reshape(1, plan.nblk_i, plan.bs_i, c)
+        vb = vb.transpose(1, 0, 3, 2)
+        wb = block_banded_solve_t(fac, vb, unroll=1)
+        w_dof = wb.transpose(1, 0, 3, 2).reshape(plan.nblk_i * plan.bs_i, c)
+        sloc = agg_dof - jnp.einsum("ic,id->cd", aig_dof, w_dof,
+                                    precision=HIGHEST)
+        return 0.5 * (sloc + sloc.T)
+
+    parts = []
+    bok_d = jnp.asarray(valid_band.astype(dtype))
+    omask_d = jnp.asarray(own_mask.astype(dtype))
+    for p in range(P):
+        parts.append(_sloc_part(
+            a_stencil,
+            dev["aii_linv"][p: p + 1], dev["aii_moff"][p: p + 1],
+            int_nodes_c[p], bok_d[p], aig_col_d[:, p],
+            own_nodes_c[p], omask_d[p], agg_col_d[:, p],
+        ))
+    sloc_raw = jnp.stack(parts)
+
+    @jax.jit
+    def _sloc_factor(sloc):
+        # identity on pad dofs keeps the batched Cholesky defined
+        m = jnp.asarray(own_dof_mask)
+        eye = jnp.eye(c, dtype=sloc.dtype)[None]
+        sloc = sloc * (m[:, :, None] * m[:, None, :]) + eye * (
+            1.0 - m[:, :, None] * eye)
+        lfac = jax.lax.linalg.cholesky(sloc, symmetrize_input=True)
+        bad = jnp.any(jnp.isnan(lfac))
+        lfac = jnp.where(jnp.isnan(lfac), jnp.zeros_like(lfac), lfac)
+        eye_b = jnp.broadcast_to(eye, lfac.shape)
+        linv = jax.lax.linalg.triangular_solve(
+            lfac, eye_b, left_side=True, lower=True)
+        sloc_inv = jnp.einsum("pki,pkj->pij", linv, linv, precision=HIGHEST)
+        return sloc, sloc_inv, bad
+
+    sloc, sloc_inv, bad = _sloc_factor(sloc_raw)
+    if bool(jax.device_get(bad)):
+        raise FloatingPointError("SSLOC local Schur is not SPD")
+    dev["sloc"] = sloc
+    dev["sloc_inv"] = sloc_inv
+    dev["own_dof"] = jnp.asarray(own_dof)
+    dev["own_dof_mask"] = jnp.asarray(own_dof_mask)
+    return dev
+
+
 def build_scalable_lorasc(
     a: sp.spmatrix,
     nparts: int,
@@ -418,6 +599,7 @@ def build_scalable_lorasc(
     a_stencil=None,
     eig_resid_tol: float = 0.03,
     restarts: int = 5,
+    pencil: str = "agg",
 ) -> ScalableLorasc:
     """Build the scalable LORASC for a stencil-structured operator `a`
     (already scaled/permuted as the solver will use it; ORIGINAL ordering).
@@ -501,6 +683,13 @@ def build_scalable_lorasc(
     sep_mask = (np.arange(plan.ng_pad) < plan.ng).astype(dtype)
     dev["sep_mask"] = jnp.asarray(sep_mask)
 
+    if pencil == "sloc":
+        # PRESC SSLOC pencil: S u = λ Sloc u (reference presc.h:18-21) —
+        # exact local Schur complements assembled on device
+        dev = _build_sloc_operands(plan, node_graph, a_stencil, dev, dtype)
+    elif pencil != "agg":
+        raise ValueError(f"unknown pencil {pencil!r} (agg | sloc)")
+
     # --- deflation eigensolve on device (replaces PARPACK) ---
     ng_pad = plan.ng_pad
     nev = min(max_deflation, max(plan.ng - 1, 1))
@@ -533,15 +722,41 @@ def build_scalable_lorasc(
         def s_apply(v):
             return s_apply_panel(v[:, None])[:, 0]
 
-        def b_apply_panel(v):
-            y = block_banded_matvec(dg, eg, _sep_band(plan, v))
-            return _sep_flat(plan, y)
+        def _own_gather(v):
+            return (v[ops["own_dof"]]
+                    * ops["own_dof_mask"][:, :, None])   # (P, nsd, k)
+
+        def _own_scatter(yo, like):
+            y = jnp.zeros_like(like)
+            return y.at[ops["own_dof"]].add(
+                yo * ops["own_dof_mask"][:, :, None])
+
+        if pencil == "sloc":
+            def b_apply_panel(v):
+                yo = jnp.einsum("pij,pjk->pik", ops["sloc"],
+                                _own_gather(v), precision=HIGHEST)
+                y = _own_scatter(yo, v)
+                return (y * ops["sep_mask"][:, None]
+                        + v * (1.0 - ops["sep_mask"])[:, None])
+
+            def op_apply(v):
+                sv = s_apply(v)[:, None]
+                zo = jnp.einsum("pij,pjk->pik", ops["sloc_inv"],
+                                _own_gather(sv), precision=HIGHEST)
+                z = _own_scatter(zo, sv)
+                return (z * ops["sep_mask"][:, None]
+                        + sv * (1.0 - ops["sep_mask"])[:, None])[:, 0]
+        else:
+            def b_apply_panel(v):
+                y = block_banded_matvec(dg, eg, _sep_band(plan, v))
+                return _sep_flat(plan, y)
+
+            def op_apply(v):
+                return _agg_solve(plan, ops, s_apply(v)[:, None],
+                                  unroll=1)[:, 0]
 
         def b_apply(v):
             return b_apply_panel(v[:, None])[:, 0]
-
-        def op_apply(v):
-            return _agg_solve(plan, ops, s_apply(v)[:, None], unroll=1)[:, 0]
 
         if restarts > 0:
             from prealps_tpu.ops.lanczos import lanczos_thick_restart

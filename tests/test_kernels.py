@@ -97,6 +97,49 @@ class TestTournament:
         err = np.linalg.norm(recon - a) / np.linalg.norm(a)
         assert err < 1e-6
 
+    def test_singular_value_approximation_random(self, rng):
+        """The reference validates tournament pivoting by comparing the
+        approximated singular values of the selected columns against the
+        true ones (test_prototypeQR.c/test_prototypeTP.c discipline): the
+        selected k-column panel's singular values must track σ_1..σ_k(A)
+        from above-modest degradation (QRCP-class selection bound)."""
+        m, n, k = 400, 100, 12
+        a = rng.standard_normal((m, n))
+        sel = np.asarray(tournament_select(jnp.asarray(a), k))
+        sv_true = np.linalg.svd(a, compute_uv=False)[:k]
+        sv_sel = np.linalg.svd(a[:, sel], compute_uv=False)
+        # σ_i(A[:, sel]) ≤ σ_i(A) always; QRCP-class selection keeps them
+        # within a modest factor for incoherent (random) matrices
+        assert np.all(sv_sel <= sv_true * (1 + 1e-8))
+        assert np.all(sv_sel >= 0.3 * sv_true), (sv_sel / sv_true)
+
+    def test_singular_value_approximation_graded(self, rng):
+        """Graded spectrum (σ_i = 2^{-i}): selection must reproduce the
+        leading singular values nearly exactly — each direction lives in a
+        distinct dominant column."""
+        m, n, k = 300, 64, 8
+        u, _ = np.linalg.qr(rng.standard_normal((m, n)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        sv = 2.0 ** -np.arange(n)
+        a = (u * sv) @ v.T
+        sel = np.asarray(tournament_select(jnp.asarray(a), k))
+        sv_sel = np.linalg.svd(a[:, sel], compute_uv=False)
+        ratio = sv_sel / sv[:k]
+        assert np.all(ratio > 0.25), ratio
+        assert np.all(ratio <= 1 + 1e-8)
+
+    def test_gram_f64_survives_illconditioned_panel(self, rng):
+        """cond ≈ 1e6 panel: naive f32 Gram pivoting is blind past
+        cond≈3e3 (squared condition); the TSQR-first + f64-Gram path must
+        still order pivots by true residual norms."""
+        m, n, k = 256, 32, 4
+        u, _ = np.linalg.qr(rng.standard_normal((m, n)))
+        sv = np.logspace(0, -6, n)
+        a = u * sv                       # columns with graded norms, cond 1e6
+        sel = np.asarray(tournament_select(jnp.asarray(a), k, nblocks=1))
+        # the k largest-norm columns are exactly the first k
+        assert set(sel.tolist()) == set(range(k)), sel
+
 
 class TestLanczos:
     def test_standard_eigs(self, rng):
