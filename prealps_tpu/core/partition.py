@@ -321,3 +321,4 @@ def permute(a: sp.spmatrix, perm: np.ndarray) -> sp.csr_matrix:
     out = a[perm][:, perm].tocsr()
     out.sort_indices()
     return out
+
