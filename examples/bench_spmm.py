@@ -129,15 +129,16 @@ def main():
                 arg = xt
             y = fn(arg)
             jax.block_until_ready(y)
-            t0 = time.time()
-            for _ in range(args.reps):
-                y = fn(arg)
-            jax.block_until_ready(y)
-            dt = (time.time() - t0) / args.reps
+            # honest timing (docs/PERFORMANCE.md round 3): in-dispatch
+            # data-dependent chain, two lengths differenced
+            from prealps_tpu.utils.timing import scan_differential_ms
+
+            k_s = max(args.reps // 4, 4)
+            ms = scan_differential_ms(fn, arg, k_short=k_s, k_long=5 * k_s)
             print(json.dumps({
                 "format": name, "t": t, "n": n, "nnz": nnz,
-                "ms": round(dt * 1e3, 3),
-                "gnnz_per_s": round(nnz / dt / 1e9, 2),
+                "ms": round(ms, 3),
+                "gnnz_per_s": round(nnz / ms / 1e6, 2),
                 "platform": platform,
             }))
 

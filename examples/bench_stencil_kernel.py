@@ -45,15 +45,15 @@ def main():
     x = rng.standard_normal((n, t)).astype(np.float32)
     xt = panel_to_lane_major(jnp.asarray(x), 3)
 
+    from prealps_tpu.utils.timing import scan_differential_ms
+
     def timeit(fn, label):
+        # honest timing: data-dependent in-dispatch chain, two lengths
+        # differenced (docs/PERFORMANCE.md round 3 — the old independent-
+        # dispatch loop gets elided by the remote runtime)
         y = fn(xt)
         y.block_until_ready()
-        reps = 50
-        t0 = time.time()
-        for _ in range(reps):
-            y = fn(xt)
-        y.block_until_ready()
-        ms = (time.time() - t0) / reps * 1e3
+        ms = scan_differential_ms(fn, xt, k_short=40, k_long=200)
         print(f"{label}: {ms:.3f} ms  ({nnz/ms/1e6:.1f} Gnnz/s)", flush=True)
         return ms, y
 
@@ -74,6 +74,35 @@ def main():
         except Exception as e:
             print(f"pallas_bs chunk={chunk} FAILED: {type(e).__name__}: {e}"[:300],
                   flush=True)
+
+    # sublane-dense FLAT kernel (the round-3 default on TPU)
+    from prealps_tpu.ops.spmm import (
+        panel_from_flat_kmajor,
+        panel_to_flat_kmajor,
+        stencil_blocks_flat,
+        stencil_flat_chunk,
+        stencil_flat_ext,
+    )
+
+    bf = stencil_blocks_flat(st.blocks_t)
+    halo = max(abs(o) for o in st.offsets)
+    nrb = st.blocks_t.shape[3]
+
+    def f_flat(v):
+        xf = panel_to_flat_kmajor(v)
+        x_ext = jnp.concatenate([xf[:, nrb - halo:], xf, xf[:, :halo]],
+                                axis=1)
+        yf = stencil_flat_ext(bf, st.offsets, x_ext, halo, br=3,
+                              chunk=stencil_flat_chunk(t, 3, len(st.offsets)))
+        return panel_from_flat_kmajor(yf, 3)
+
+    try:
+        ms, y1 = timeit(jax.jit(f_flat), "flat (sublane-dense)")
+        err = float(jnp.linalg.norm(y1 - y0) / jnp.linalg.norm(y0))
+        print(f"  relerr vs xla: {err:.2e}", flush=True)
+        impls["flat"] = ms
+    except Exception as e:
+        print(f"flat FAILED: {type(e).__name__}: {e}"[:300], flush=True)
     print(impls)
 
 

@@ -75,3 +75,53 @@ def profile_trace(log_dir: str | None):
 def scope(name: str):
     """Named profiler scope decorator for jitted phases."""
     return jax.named_scope(name)
+
+
+def scan_differential_ms(fn, z0, k_short: int = 40, k_long: int = 200,
+                         reps: int = 2) -> float:
+    """Honest per-application time (ms) of `fn` on this backend.
+
+    The remote-attach TPU runtime elides repeated identical dispatches and
+    caches (executable, input) results, and host-side chaining is dispatch-
+    rate bound through the tunnel (docs/PERFORMANCE.md round 3). This
+    measures a data-dependent chain INSIDE one dispatch at two scan
+    lengths, differenced to cancel constant overhead, with a fresh input
+    per timed call.
+
+    fn: pytree -> any. The chain feeds a data-dependent perturbation of the
+    INPUT forward (z * (1 + 1e-30·Σfn(z)) — exact in f32, unfoldable), so
+    fn need not be shape-preserving. Adds one output reduction per step
+    (~0.02 ms at 148k-row outputs).
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    def step(z, _):
+        y = fn(z)
+        leaves = jax.tree_util.tree_leaves(y)
+        s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+        bump = (1.0 + 1e-30 * s)
+        return jax.tree_util.tree_map(lambda a: a * bump.astype(a.dtype), z), None
+
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnums=1)
+    def many(z, k):
+        z, _ = jax.lax.scan(step, z, None, length=k)
+        return z
+
+    def best(k, z):
+        b = 1e9
+        for _ in range(reps):
+            t0 = _time.time()
+            z = many(z, k)
+            jax.block_until_ready(z)
+            b = min(b, _time.time() - t0)
+        return b, z
+
+    z = many(z0, k_short)
+    jax.block_until_ready(z)
+    t_s, z = best(k_short, z)
+    t_l, _ = best(k_long, z)
+    return max((t_l - t_s) / (k_long - k_short) * 1e3, 0.0)
