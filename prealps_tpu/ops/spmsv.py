@@ -133,3 +133,97 @@ def spmsv_chain(
         panels.append(cur)
         structs.append(cur_struct)
     return panels, structs
+
+
+# ---------------------------------------------------------------------------
+# Sparse-VALUED spMSV (round 3): packed active blocks, static capacity
+# ---------------------------------------------------------------------------
+#
+# The dense-carrier spmsv above masks dead blocks but still stores and
+# multiplies (n, t) values — it tracks the reference's structure contract
+# with nothing sparse to switch FROM (round-2 VERDICT). The packed variant
+# stores ONLY the active row-blocks of B ((cap, bs, t) + block ids) and
+# computes ONLY the active row-blocks of C: traffic and FLOPs scale with
+# the active fraction, exactly the economics of the reference's
+# preAlps_spMSV (spMSV.h:16-86). TPU constraints shape the design: the
+# active set lives in a CAPACITY-padded buffer (static shapes; -1 = dead
+# slot), A rides the block-ELL format at block granularity, and the
+# sparse->dense switch compares the PREDICTED fill against the threshold
+# host-side (support prediction is host metadata here, as the reference
+# requires the block struct precomputed).
+
+
+def pack_multivector(b: jax.Array, bs: int, ids: np.ndarray, cap: int):
+    """(n, t) dense -> (ids (cap,), vals (cap, bs, t)) active row-blocks.
+
+    ids: host int array of active block rows (sorted, unique), len ≤ cap.
+    """
+    n, t = b.shape
+    ids_pad = np.full(cap, -1, dtype=np.int32)
+    ids_pad[: len(ids)] = np.asarray(ids, dtype=np.int32)
+    bb = b.reshape(n // bs, bs, t)
+    gather = jnp.asarray(np.where(ids_pad >= 0, ids_pad, 0))
+    vals = bb[gather] * (jnp.asarray(ids_pad) >= 0)[:, None, None].astype(b.dtype)
+    return jnp.asarray(ids_pad), vals
+
+
+def unpack_multivector(ids: jax.Array, vals: jax.Array, nb: int) -> jax.Array:
+    """Packed blocks -> dense (nb*bs, t) (dead slots ignored)."""
+    cap, bs, t = vals.shape
+    out = jnp.zeros((nb + 1, bs, t), vals.dtype)
+    idx = jnp.where(ids >= 0, ids, nb)
+    out = out.at[idx].add(vals)
+    return out[:nb].reshape(nb * bs, t)
+
+
+def spmsv_packed(ab, b_ids: jax.Array, b_vals: jax.Array,
+                 c_ids: np.ndarray, cap_c: int):
+    """Packed C = A·B on active blocks only.
+
+    ab: BlockEllMatrix with bm == bk == bs (csr_to_block_ell);
+    b_ids/b_vals: packed B (pack_multivector);
+    c_ids: host prediction of C's active block rows (propagate_support of
+    B's support through the block graph — generically exact);
+    returns (c_ids_dev (cap_c,), c_vals (cap_c, bs, t)).
+
+    FLOPs = cap_c · S · bs² · t (vs nb · S · bs² · t dense): the saving is
+    the active fraction. One gather of A's active block rows + one gather
+    of B's referenced blocks; everything else is one batched einsum.
+    """
+    nrb, s_max, bs, bs2 = ab.blocks.shape
+    assert bs == bs2, "spmsv_packed needs square blocks (bm == bk)"
+    cap_b = b_vals.shape[0]
+    t = b_vals.shape[2]
+
+    c_ids_pad = np.full(cap_c, -1, dtype=np.int32)
+    c_ids_pad[: len(c_ids)] = np.asarray(c_ids, dtype=np.int32)
+    c_ids_d = jnp.asarray(c_ids_pad)
+    c_gather = jnp.where(c_ids_d >= 0, c_ids_d, 0)
+
+    # slot of each block column in B's packed buffer; dead -> cap_b (zero)
+    posmap = jnp.full((nrb + 1,), cap_b, dtype=jnp.int32)
+    posmap = posmap.at[jnp.where(b_ids >= 0, b_ids, nrb)].set(
+        jnp.arange(cap_b, dtype=jnp.int32))
+    posmap = posmap.at[nrb].set(cap_b)
+
+    blk = ab.blocks[c_gather]                  # (cap_c, S, bs, bs)
+    cols = ab.blkcols[c_gather]                # (cap_c, S)
+    pos = posmap[jnp.minimum(cols, nrb)]       # (cap_c, S)
+    b_ext = jnp.concatenate(
+        [b_vals, jnp.zeros((1, bs, t), b_vals.dtype)], axis=0)
+    gathered = b_ext[pos]                      # (cap_c, S, bs, t)
+    c_vals = jnp.einsum(
+        "csmk,cskt->cmt", blk, gathered,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=b_vals.dtype,
+    )
+    c_vals = c_vals * (c_ids_d >= 0)[:, None, None].astype(c_vals.dtype)
+    return c_ids_d, c_vals
+
+
+def predict_c_support(g: sp.csr_matrix, b_ids, nb: int) -> np.ndarray:
+    """Active C block rows = struct(G) · support(B) (host metadata)."""
+    s = np.zeros(nb, dtype=np.int8)
+    ids = np.asarray(b_ids)
+    s[ids[ids >= 0]] = 1
+    return np.flatnonzero(np.asarray((g @ s) > 0))

@@ -521,3 +521,65 @@ class TestBJApplyPallas:
         got = bj_apply_pallas(b2, z, br=br, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestSpMSVPacked:
+    """Sparse-VALUED spMSV (round 3): packed active blocks, capacity-
+    padded — traffic and FLOPs scale with the active fraction (the
+    economics of reference preAlps_spMSV, spMSV.h:16-86)."""
+
+    def test_packed_matches_dense_product(self, poisson_small, rng):
+        from prealps_tpu.ops.formats import csr_to_block_ell
+        from prealps_tpu.ops.spmsv import (
+            pack_multivector,
+            predict_c_support,
+            spmsv_packed,
+            unpack_multivector,
+        )
+
+        a = poisson_small
+        n = a.shape[0]
+        bs = 32
+        nb = -(-n // bs)
+        ab = csr_to_block_ell(a, bm=bs, bk=bs, dtype=np.float64)
+        from prealps_tpu.core.partition import nsplit
+
+        offsets = np.arange(nb + 1) * bs
+        g = block_support_graph(
+            sp.csr_matrix((a.data, a.indices, a.indptr),
+                          shape=(n, n)) if hasattr(a, 'indptr') else a,
+            offsets.clip(max=n))
+        b = np.zeros((nb * bs, 3))
+        active = [2, 7, 11]
+        for i in active:
+            b[i * bs:(i + 1) * bs] = rng.standard_normal((bs, 3))
+        b_ids, b_vals = pack_multivector(jnp.asarray(b), bs,
+                                         np.array(active), cap=8)
+        c_ids_host = predict_c_support(g, np.asarray(b_ids), nb)
+        c_ids, c_vals = spmsv_packed(ab, b_ids, b_vals, c_ids_host,
+                                     cap_c=min(len(c_ids_host) + 4, nb))
+        c = unpack_multivector(c_ids, c_vals, nb)
+        ref = np.zeros((nb * bs, 3))
+        ref[:n] = a @ b[:n]
+        np.testing.assert_allclose(np.asarray(c), ref, rtol=1e-10,
+                                   atol=1e-12)
+
+    def test_packed_cost_scales_with_active_fraction(self, poisson_small):
+        """The packed form's compute is cap_c·S·bs²·t — assert the shapes
+        (the cost model), not wall-clock."""
+        from prealps_tpu.ops.formats import csr_to_block_ell
+        from prealps_tpu.ops.spmsv import pack_multivector, spmsv_packed
+
+        a = poisson_small
+        n = a.shape[0]
+        bs = 64
+        nb = -(-n // bs)
+        ab = csr_to_block_ell(a, bm=bs, bk=bs, dtype=np.float64)
+        b = np.zeros((nb * bs, 2))
+        b[:bs] = 1.0
+        b_ids, b_vals = pack_multivector(jnp.asarray(b), bs, np.array([0]),
+                                         cap=2)
+        c_ids, c_vals = spmsv_packed(ab, b_ids, b_vals, np.array([0, 1]),
+                                     cap_c=3)
+        assert c_vals.shape == (3, bs, 2)   # only cap_c blocks computed
+        assert b_vals.shape == (2, bs, 2)   # only cap_b blocks stored
