@@ -57,6 +57,8 @@ class StencilLorascECG:
         shift: float = 0.0,
         pencil: str = "agg",   # "sloc" = scalable PRESC (SSLOC pencil,
                                # reference presc.h:18-21)
+        host_refine: bool | None = None,  # f64 host refinement of the
+                               # deflation pairs (None = auto: f32 + agg)
     ) -> "StencilLorascECG":
         # true-f32 MXU passes (bf16 default silently breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -88,7 +90,7 @@ class StencilLorascECG:
             a, nparts=nparts, br=br, grid=grid,
             deflation_tol=deflation_tol, max_deflation=max_deflation,
             ncv=ncv, dtype=dtype, shift=shift, a_stencil=a_t,
-            pencil=pencil,
+            pencil=pencil, host_refine=host_refine,
         )
 
         n = a.shape[0]

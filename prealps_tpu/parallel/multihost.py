@@ -1,4 +1,7 @@
-"""Multi-host (DCN) initialization and mesh construction.
+"""Multi-host (DCN) initialization and mesh construction. EXPERIMENTAL:
+this glue is necessarily untested on real multi-host hardware (the dev
+environment exposes a single chip); the single-host smoke test covers the
+mesh construction only. Treat as a starting point on a real pod.
 
 The reference scales across nodes with plain `mpirun` — every rank is a
 process and MPI wires them up (reference: README.md:53 `mpirun -np 8 ...`,

@@ -586,6 +586,70 @@ def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
     return dev
 
 
+def _host_refine_pairs(a: sp.csr_matrix, plan: ArrowBandPlan,
+                       vecs_np: np.ndarray, deflation_tol: float,
+                       resid_tol: float = 1e-3):
+    """One-time float64 Rayleigh–Ritz refinement of the f32 Lanczos
+    candidates on the HOST (round 3).
+
+    Motivation (docs/PERFORMANCE.md round-3 deflation study): in f64 the
+    same algorithm reaches 70 iters at 75 kept pairs, while the f32 device
+    pairs cost 166-169 — the gap is VECTOR noise, which forces the σ cap.
+    The fix: project S and Agg onto span(candidates) in f64 using the
+    original scipy operator (per-part splu interiors — the one-time host
+    cost the reference pays inside PARPACK's f64 arithmetic throughout,
+    eigsolver.c), re-solve the small generalized problem, and keep pairs
+    by TRUE f64 residuals. Returns (theta (k',), e_ng (ng, k') f64).
+    """
+    import scipy.sparse.linalg as spla
+
+    br = plan.br
+    sep_nodes = plan.sep_nodes[: plan.nsn]
+    sep_dofs = (sep_nodes[:, None] * br + np.arange(br)).reshape(-1)
+    v = np.asarray(vecs_np[: plan.ng], dtype=np.float64)   # (ng, k)
+    # drop numerically dependent candidates early (duplicates)
+    q, rr = np.linalg.qr(v)
+    keep = np.abs(np.diag(rr)) > 1e-7 * max(np.abs(rr).max(), 1e-30)
+    v = q[:, : keep.size][:, keep]
+    k = v.shape[1]
+    if k == 0:
+        return np.zeros(0), np.zeros((plan.ng, 0))
+
+    agg = a[sep_dofs][:, sep_dofs].tocsr()
+    sv = agg @ v
+    for p in range(plan.nparts):
+        int_nodes = np.flatnonzero(plan.part_arr == p)
+        if int_nodes.size == 0:
+            continue
+        idofs = (int_nodes[:, None] * br + np.arange(br)).reshape(-1)
+        aig = a[idofs][:, sep_dofs].tocsc()
+        if aig.nnz == 0:
+            continue
+        lu = spla.splu(a[idofs][:, idofs].tocsc())
+        sv -= aig.T @ lu.solve(aig @ v)
+    bv = agg @ v
+    gs = v.T @ sv
+    gb = v.T @ bv
+    gs = 0.5 * (gs + gs.T)
+    gb = 0.5 * (gb + gb.T)
+    # whiten B on the subspace (drops residual near-dependence)
+    w, u = np.linalg.eigh(gb)
+    good = w > max(w.max(), 1e-300) * 1e-10
+    u = u[:, good] / np.sqrt(w[good])
+    lam, c = np.linalg.eigh(u.T @ gs @ u)
+    cc = u @ c
+    # true f64 residuals: ‖S Vc − λ B Vc‖ / ‖B Vc‖
+    svc = sv @ cc
+    bvc = bv @ cc
+    res = (np.linalg.norm(svc - bvc * lam[None, :], axis=0)
+           / np.maximum(np.linalg.norm(bvc, axis=0), 1e-300))
+    sel = (lam <= deflation_tol) & (lam > 0) & (res <= resid_tol)
+    e = (v @ cc)[:, sel]
+    # B-normalize the kept vectors (uᵀ Agg u = 1, the PARPACK convention)
+    bn = np.sqrt(np.maximum(np.einsum("gk,gk->k", e, agg @ e), 1e-300))
+    return lam[sel], e / bn[None, :]
+
+
 def build_scalable_lorasc(
     a: sp.spmatrix,
     nparts: int,
@@ -600,6 +664,7 @@ def build_scalable_lorasc(
     eig_resid_tol: float = 0.03,
     restarts: int = 5,
     pencil: str = "agg",
+    host_refine: bool | None = None,
 ) -> ScalableLorasc:
     """Build the scalable LORASC for a stencil-structured operator `a`
     (already scaled/permuted as the solver will use it; ORIGINAL ordering).
@@ -819,5 +884,32 @@ def build_scalable_lorasc(
     dev["e_mat"] = (vecs * dev["sep_mask"][:, None]).astype(dtype)
     dev["sigma"] = sigma
     deflated = int(jnp.sum(ok))
+
+    # Host f64 refinement of the kept pairs (round 3): the f32 device
+    # pairs carry vector noise that forces the σ cap above — the f64
+    # deflation study (docs/PERFORMANCE.md) shows the same algorithm at 70
+    # vs 166 iterations when the vectors are accurate. One-time host cost
+    # (splu per interior + k solves); the refined σ floor relaxes to
+    # storage precision (f32 rounding of refined vectors ≈ 6e-8, so
+    # σ ≲ 1e3 injects ≤ 1e-4 — enlarged CG absorbs the few outliers).
+    if host_refine is None:
+        host_refine = (jnp.dtype(dtype) == jnp.float32
+                       and pencil == "agg" and plan.ng > 0)
+    if host_refine and pencil == "agg":
+        cand = np.asarray(vecs)              # (ng_pad, nev) D2H, one-time
+        lam_r, e_r = _host_refine_pairs(a, plan, cand, deflation_tol)
+        if lam_r.size:
+            kk = lam_r.size
+            e_pad = np.zeros((ng_pad, kk), dtype=np.float64)
+            e_pad[: plan.ng] = e_r
+            # σ floor stays at the f32-storage cap: relaxing it to 1e-3·tol
+            # with f32-stored vectors poisons the apply (measured n=148k
+            # het: 2398 iters vs 166) — the correction quality is then
+            # limited by storage, not by pair accuracy
+            lam_floor = np.maximum(lam_r, deflation_tol * float(floor_frac))
+            dev["e_mat"] = jnp.asarray(e_pad.astype(dtype))
+            dev["sigma"] = jnp.asarray(
+                ((deflation_tol - lam_floor) / lam_floor).astype(dtype))
+            deflated = int(kk)
 
     return ScalableLorasc(plan=plan, operands=dev, deflated=deflated)

@@ -198,3 +198,34 @@ class TestStencilLorascSolve:
         relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
         assert relres < 1e-5
         assert info["iters"] < 0.5 * k_bj, (info["iters"], k_bj)
+
+
+class TestHostRefinedPairs:
+    def test_refined_pairs_do_not_hurt_and_match_f64_quality(self, rng):
+        """Host f64 Rayleigh-Ritz refinement of the f32 device pairs
+        (round 3): refined vectors are B-orthonormal to f64 accuracy and
+        the preconditioner converges at least as fast as with raw f32
+        pairs (docs/PERFORMANCE.md round-3 deflation study: the f32-f64
+        gap is vector noise)."""
+        import jax.numpy as jnp
+
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+        from prealps_tpu.solvers import ECGOptions
+
+        nel = 12
+        a = elasticity3d(nel, nel, nel, heterogeneous=True)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=4, tol=1e-5, maxiter=4000,
+                          variant="odir_fused", layout="tbn")
+        runs = {}
+        for hr in (False, True):
+            s = StencilLorascECG.build(
+                a, nparts=4, br=3, grid=(nel + 1, nel + 1, nel), opts=opts,
+                dtype=np.float32, max_deflation=48, host_refine=hr,
+            )
+            x, info = s.solve(b)
+            relres = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
+            assert relres < 1e-4
+            runs[hr] = info["iters"]
+        assert runs[True] <= runs[False] + 2, runs
