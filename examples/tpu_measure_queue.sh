@@ -1,7 +1,6 @@
 #!/bin/bash
-# Queued TPU measurements after the relayout work (run when the remote
-# backend is stable). Logs to /tmp/tpu_queue_*.log; prints one summary line
-# per step.
+# Measurements queued for the next session with stable TPU access (or a
+# real multi-chip slice). Logs to /tmp/tpu_queue_*.log.
 set -u
 cd "$(dirname "$0")/.."
 run() {
@@ -12,12 +11,18 @@ run() {
   echo "--- $name rc=$rc"
   tail -5 "/tmp/tpu_queue_$name.out"
 }
-# 1) het LORASC bench with the relayout (was 3.63 s / 154 it)
-PREALPS_BENCH_HET=1 PREALPS_BENCH_PRECOND=lorasc run het_lorasc python bench.py
-# 2) component profile of the relayouted apply
-PREALPS_PROBE_NPARTS=8 run relayout_probe8 python examples/probe_lorasc_relayout.py
-# 3) nparts=16: halves the interior factor bytes per solve
-PREALPS_BENCH_HET=1 PREALPS_BENCH_PRECOND=lorasc PREALPS_BENCH_NPARTS=16 \
-  run het_lorasc_p16 python bench.py
-# 4) headline re-verify (bj2l default; was 0.268 s / 130 it)
-run headline python bench.py
+# 1) headline re-verify (round-3 flat kernel: 0.227 s / 130 it / 23.3x)
+PREALPS_BENCH_FAST=1 run headline python bench.py
+# 2) het LORASC with host-refined pairs (round 3: 2.21 s / 159 it)
+PREALPS_BENCH_HET=1 PREALPS_BENCH_PRECOND=lorasc PREALPS_BENCH_FAST=1 \
+  run het_lorasc python bench.py
+# 3) scalable PRESC (round 3: 2.38 s / 180 it)
+PREALPS_BENCH_HET=1 PREALPS_BENCH_PRECOND=presc PREALPS_BENCH_FAST=1 \
+  run het_presc python bench.py
+# 4) kernel sweep with honest timing (flat 0.275 ms incl. conversions)
+run stencil_sweep python examples/bench_stencil_kernel.py
+# 5) general/irregular matrix sweep (gather-ceiling study)
+run general_spmm python examples/bench_spmm_general.py --npts 80000
+# --- multi-chip slice only (not runnable on the single tunnel chip) ---
+# OVERLAP_ON_TPU=1 OVERLAP_NDEV=8 python examples/measure_halo_overlap.py
+# python examples/weak_scaling.py   # nnz/s vs chips over ICI
