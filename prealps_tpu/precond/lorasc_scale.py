@@ -896,7 +896,16 @@ def build_scalable_lorasc(
         host_refine = (jnp.dtype(dtype) == jnp.float32
                        and pencil == "agg" and plan.ng > 0)
     if host_refine and pencil == "agg":
-        cand = np.asarray(vecs)              # (ng_pad, nev) D2H, one-time
+        # prefilter on device before the D2H pull (the tunnel runs at
+        # 1-10 MB/s): only candidates with θ anywhere near the deflation
+        # window and a sane residual estimate are worth refining
+        th_np = np.asarray(theta)
+        rs_np = np.asarray(resid)
+        bn_np = np.asarray(bnorm2)
+        pre = np.flatnonzero(
+            (th_np <= 3 * deflation_tol) & (bn_np > 0.25) & (rs_np <= 0.3))
+        cand = np.asarray(vecs[:, jnp.asarray(pre)]) if pre.size else \
+            np.zeros((ng_pad, 0))
         lam_r, e_r = _host_refine_pairs(a, plan, cand, deflation_tol)
         if lam_r.size:
             kk = lam_r.size
