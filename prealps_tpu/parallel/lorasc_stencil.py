@@ -59,6 +59,9 @@ class StencilLorascECG:
                                # reference presc.h:18-21)
         host_refine: bool | None = None,  # f64 host refinement of the
                                # deflation pairs (None = auto: f32 + agg)
+        correction: str = "sigma",  # "sigma" (reference E σ Eᵀ form) or
+                               # "deflate" (balancing/BNN projection —
+                               # f32-robust, see lorasc_scale.lorasc_apply)
     ) -> "StencilLorascECG":
         # true-f32 MXU passes (bf16 default silently breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -90,7 +93,7 @@ class StencilLorascECG:
             a, nparts=nparts, br=br, grid=grid,
             deflation_tol=deflation_tol, max_deflation=max_deflation,
             ncv=ncv, dtype=dtype, shift=shift, a_stencil=a_t,
-            pencil=pencil, host_refine=host_refine,
+            pencil=pencil, host_refine=host_refine, correction=correction,
         )
 
         n = a.shape[0]

@@ -368,15 +368,42 @@ def _aii_solve(plan, ops, vb: jax.Array, unroll=True) -> jax.Array:
     return block_banded_solve_t(fac, vb, unroll=unroll)
 
 
+def _coarse_solve(ops: dict, c: jax.Array) -> jax.Array:
+    """Λc⁻¹ c via the precomputed (host-f64) inverse Cholesky factor of
+    Λc = ŴᵀAŴ: Λc⁻¹ = L⁻ᵀ L⁻¹ as two small (k×k)·(k×t) matmuls."""
+    linv = ops["coarse_linv"]
+    u = jnp.einsum("kj,jt->kt", linv, c, precision=HIGHEST)
+    return jnp.einsum("jk,jt->kt", linv, u, precision=HIGHEST)
+
+
 def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
     """M⁻¹ r (reference: lorasc.c:368-618 forward + backward sweeps), with
-    Agi/Aig products via the full stencil SpMM on zero-embedded vectors."""
+    Agi/Aig products via the full stencil SpMM on zero-embedded vectors.
+
+    Two correction modes select at trace time:
+    * σ (reference form): zg += E σ Eᵀ g — maps deflated pencil modes to
+      exactly the deflation tolerance (lorasc_eigsolve.c:247).
+    * balancing deflation ("w_lift" operands present): the BNN form
+      M⁻¹ = Pᵀ M0⁻¹ P + Q with Q = Ŵ Λc⁻¹ Ŵᵀ, P = I − A Q, over the lifted
+      basis Ŵ = [−Aii⁻¹Aig E; E] (so AŴ = [0; S E] is separator-supported
+      and P costs no extra operator apply). SPD, and — unlike the σ form —
+      free of σ-amplified components in the returned vectors, which is what
+      capped f32 LORASC at ~2.3× the f64 iteration count
+      (docs/PERFORMANCE.md round-3 σ-cap causal chain)."""
     from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
 
     a_t = ops["a_stencil"]
+    deflate = "w_lift" in ops
     rn = _to_node_major(r)
     vi = _gather_int(plan, ops, rn)
     vg = _gather_sep(plan, ops, rn)
+
+    if deflate:
+        # pre-projection P r = r − AŴ Λc⁻¹ (Ŵᵀ r): touches separator rows only
+        c1 = jnp.einsum("kbn,tbn->kt", ops["w_lift"], r, precision=HIGHEST)
+        vg = vg - jnp.einsum(
+            "gk,kt->gt", ops["aw_sep"], _coarse_solve(ops, c1),
+            precision=HIGHEST)
 
     # forward sweep: zi = Aii⁻¹ vi ; g = vg − Agi zi  (one SpMM)
     zi = _aii_solve(plan, ops, vi)
@@ -384,12 +411,14 @@ def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
     agi_zi = _gather_sep(plan, ops, _to_node_major(y))
     g = (vg - agi_zi) * ops["sep_mask"][:, None]
 
-    # separator solve + low-rank correction: zg = Agg⁻¹g + E σ Eᵀ g
-    corr = jnp.einsum("gk,gt->kt", ops["e_mat"], g, precision=HIGHEST)
+    # separator solve (+ low-rank σ correction: zg += E σ Eᵀ g)
     zg = _agg_solve(plan, ops, g)
-    zg = zg + jnp.einsum(
-        "gk,kt->gt", ops["e_mat"], corr * ops["sigma"][:, None], precision=HIGHEST
-    )
+    if not deflate:
+        corr = jnp.einsum("gk,gt->kt", ops["e_mat"], g, precision=HIGHEST)
+        zg = zg + jnp.einsum(
+            "gk,kt->gt", ops["e_mat"], corr * ops["sigma"][:, None],
+            precision=HIGHEST
+        )
     zg = zg * ops["sep_mask"][:, None]
 
     # backward sweep: wi = zi − Aii⁻¹ (Aig zg)  (one SpMM)
@@ -398,7 +427,14 @@ def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
     wi = zi - _aii_solve(plan, ops, aig_zg)
 
     w = _embed_int(plan, ops, wi) + _embed_sep(plan, ops, zg)
-    return _from_node_major(plan, w)
+    out = _from_node_major(plan, w)
+    if deflate:
+        # post-projection + coarse solve: Pᵀ y + Q r = y + Ŵ Λc⁻¹ (c1 − AŴᵀy)
+        d = jnp.einsum("gk,gt->kt", ops["aw_sep"], zg, precision=HIGHEST)
+        out = out + jnp.einsum(
+            "kbn,kt->tbn", ops["w_lift"], _coarse_solve(ops, c1 - d),
+            precision=HIGHEST)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -665,6 +701,7 @@ def build_scalable_lorasc(
     restarts: int = 5,
     pencil: str = "agg",
     host_refine: bool | None = None,
+    correction: str = "sigma",
 ) -> ScalableLorasc:
     """Build the scalable LORASC for a stencil-structured operator `a`
     (already scaled/permuted as the solver will use it; ORIGINAL ordering).
@@ -673,6 +710,9 @@ def build_scalable_lorasc(
     None, the generic block-arrow partitioner is used on the node graph.
     a_stencil: an existing lane-major StencilBsrTMatrix of `a` (reused by the
     driver so the operator is uploaded once).
+    correction: "sigma" (reference form, zg += E σ Eᵀ g) or "deflate"
+    (balancing/BNN projection over the lifted basis — see lorasc_apply;
+    robust in f32 where σ amplification forces the cap).
     """
     from prealps_tpu.core.gridpart import collapse_to_nodes, grid_box_partition
     from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
@@ -921,4 +961,79 @@ def build_scalable_lorasc(
                 ((deflation_tol - lam_floor) / lam_floor).astype(dtype))
             deflated = int(kk)
 
+    if correction == "deflate":
+        _attach_deflation_lift(plan, dev, dtype,
+                               lam_floor=deflation_tol * float(floor_frac))
+    elif correction != "sigma":
+        raise ValueError(f"unknown correction {correction!r} (sigma | deflate)")
+
     return ScalableLorasc(plan=plan, operands=dev, deflated=deflated)
+
+
+def _attach_deflation_lift(plan: ArrowBandPlan, dev: dict, dtype,
+                           lam_floor: float) -> None:
+    """Build the balancing-deflation operands from the final (E, σ>0) pairs:
+    Ŵ = [−Aii⁻¹ Aig E; E] lane-major (k, br, nrb), AŴ's separator block
+    S E (the interior block of AŴ vanishes by construction — the lift is
+    the discrete harmonic extension, so P costs no operator apply), and the
+    host-f64 inverse Cholesky factor of Λc = Ŵᵀ A Ŵ = Eᵀ (S E).
+
+    The TPU motive (docs/PERFORMANCE.md round-3 σ-cap causal chain): the σ
+    form returns vectors carrying σ-amplified mode components; f32 solver
+    state rounds RELATIVE to that amplified magnitude, which is why the σ
+    floor (and its ~2.3× iteration penalty vs f64) exists. The projection
+    form handles those modes by an exact coarse solve and keeps every
+    returned vector O(1)-scaled — the mode content of the residual stays at
+    rounding level by the BNN self-correction, so f32 tracks the f64
+    iteration counts. Per apply it costs two passes over Ŵ (tall GEMMs —
+    MXU work, no gathers).
+    """
+    from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+
+    sel = np.flatnonzero(np.asarray(dev["sigma"]) > 0)
+    if sel.size == 0:
+        return  # nothing deflated: M0 alone (no coarse operands attached)
+    e_sel = jnp.take(dev["e_mat"], jnp.asarray(sel, dtype=jnp.int32), axis=1)
+    e_sel = e_sel * dev["sep_mask"][:, None]
+
+    @jax.jit
+    def _build_lift(ops, e):
+        # one S·E sweep; its Aii⁻¹(Aig E) intermediate IS the interior lift
+        e_node = _embed_sep(plan, ops, e)
+        y1n = _to_node_major(
+            stencil_bsr_spmm_t(ops["a_stencil"], _from_node_major(plan, e_node)))
+        agg_e = _gather_sep(plan, ops, y1n)
+        aig_e = _gather_int(plan, ops, y1n)
+        zi = _aii_solve(plan, ops, aig_e, unroll=1)
+        w_int = _embed_int(plan, ops, zi)            # +Aii⁻¹ Aig E, node-major
+        y2 = stencil_bsr_spmm_t(ops["a_stencil"], _from_node_major(plan, w_int))
+        agi_zi = _gather_sep(plan, ops, _to_node_major(y2))
+        sv = (agg_e - agi_zi) * ops["sep_mask"][:, None]
+        w = _from_node_major(plan, e_node - w_int)   # (k, br, nrb) lane-major
+        lc = jnp.einsum("gk,gj->kj", e, sv, precision=HIGHEST)
+        return w, sv, lc
+
+    w, sv, lc = _build_lift(dev, e_sel)
+    # Λc is small (k×k) — eigendecompose in f64 on the host and FLOOR its
+    # eigenvalues (≈ the pencil λ's, since E is B-normalized) at lam_floor.
+    # The floor bounds ‖Q‖ ≤ 1/λf: computing Ŵᵀr in the working precision
+    # carries eps·‖r‖ noise, which the coarse solve amplifies by 1/λ — with
+    # exact Λc⁻¹ and λmin ~ 1e-7 (high contrast) the injected W-subspace
+    # noise reaches O(‖r‖) and f32 convergence collapses (measured 14³ het:
+    # 6429 vs 99 f64 iters). Floored, modes with λ ≥ λf still map to
+    # exactly 1; sub-floor modes map to λ/λf — a factor 1/ε better than the
+    # σ-cap's λ·ε/λf, the point of this correction mode.
+    lc64 = np.asarray(lc, dtype=np.float64)
+    lc64 = 0.5 * (lc64 + lc64.T)
+    lam_c, u_c = np.linalg.eigh(lc64)
+    lam_c = np.maximum(lam_c, lam_floor)
+    # Λc̃⁻¹ = (Λ̃^{-1/2} Uᵀ)ᵀ (Λ̃^{-1/2} Uᵀ) — matches _coarse_solve's
+    # linvᵀ·linv composition
+    linv = (u_c / np.sqrt(lam_c)[None, :]).T
+    dev["w_lift"] = w
+    dev["aw_sep"] = sv
+    dev["coarse_linv"] = jnp.asarray(linv.astype(dtype))
+    # the σ path is superseded; drop its operands so the apply never pays
+    # the E-read and the (large) e_mat does not sit in HBM twice
+    dev["e_mat"] = jnp.zeros((dev["e_mat"].shape[0], 0), dtype=dtype)
+    dev["sigma"] = jnp.zeros((0,), dtype=dtype)

@@ -229,3 +229,121 @@ class TestHostRefinedPairs:
             assert relres < 1e-4
             runs[hr] = info["iters"]
         assert runs[True] <= runs[False] + 2, runs
+
+
+class TestBalancingDeflation:
+    """correction="deflate": the balancing/BNN projection form
+    (lorasc_scale._attach_deflation_lift + lorasc_apply deflate branch)."""
+
+    def test_apply_matches_bnn_formula(self):
+        """deflate apply == Pᵀ M0⁻¹ P + Q computed densely with scipy over
+        the same lifted basis Ŵ = [−Aii⁻¹Aig E; E] and floored Λc."""
+        from prealps_tpu.core.generators import elasticity3d
+
+        nel = (4, 3, 3)
+        a = elasticity3d(*nel)
+        br, nparts = 3, 4
+        lor = _make(a, br, nparts, grid=(nel[0] + 1, nel[1] + 1, nel[2]),
+                    max_deflation=8, correction="deflate")
+        plan = lor.plan
+        assert "w_lift" in lor.operands, "no pairs deflated; test needs some"
+
+        int_dofs, sep_dofs = _arrow_pieces(a, plan)
+        all_int = np.concatenate(int_dofs)
+        n = a.shape[0]
+        aii = sp.csc_matrix(a[all_int][:, all_int])
+        aig = a[all_int][:, sep_dofs]
+        agi = a[sep_dofs][:, all_int]
+        agg = sp.csc_matrix(a[sep_dofs][:, sep_dofs])
+
+        # M0⁻¹ (no correction) as a dense action, arrow coordinates
+        def m0_inv(v):
+            vi, vg = v[: all_int.size], v[all_int.size:]
+            zi = spla.spsolve(aii, vi)
+            zg = spla.spsolve(agg, vg - agi @ zi)
+            wi = zi - spla.spsolve(aii, aig @ zg)
+            return np.concatenate([wi, zg])
+
+        # lifted basis from the device operands (lane-major (k, br, nrb))
+        w_dev = np.asarray(lor.operands["w_lift"])
+        k = w_dev.shape[0]
+        w_full = w_dev.transpose(2, 1, 0).reshape(n, k)   # original ordering
+        perm = np.concatenate([all_int, sep_dofs])
+        w_arrow = w_full[perm]
+        linv = np.asarray(lor.operands["coarse_linv"])
+        lc_inv = linv.T @ linv
+        a_arrow = a[perm][:, perm]
+        aw = np.asarray(a_arrow @ w_arrow)
+
+        rng = np.random.default_rng(5)
+        r = rng.standard_normal(n)
+        r_arrow = r[perm]
+        # BNN: z = Pᵀ y + Q r,  P r = r − AŴ Λc⁻¹ Ŵᵀ r,  y = M0⁻¹ P r
+        c1 = w_arrow.T @ r_arrow
+        pr = r_arrow - aw @ (lc_inv @ c1)
+        y = m0_inv(pr)
+        z_ref_arrow = y + w_arrow @ (lc_inv @ (c1 - aw.T @ y))
+        z_ref = np.zeros(n)
+        z_ref[perm] = z_ref_arrow
+
+        r_lane = jnp.asarray(
+            np.ascontiguousarray(r.reshape(plan.nrb, br).T)[None]
+        )
+        z_lane = np.asarray(lor.apply(r_lane))
+        z = z_lane[0].T.reshape(n)
+        # the device apply uses AŴ = [0; SE] (interior block exactly zero by
+        # the harmonic-lift identity); the scipy A·Ŵ above carries the
+        # banded-solve truncation in that block, hence the loose-ish band
+        err = np.linalg.norm(z - z_ref) / np.linalg.norm(z_ref)
+        assert err < 1e-6, err
+
+    def test_deflate_matches_sigma_iterations_f64(self, rng):
+        """In f64 both correction forms handle the deflated modes (σ maps
+        them to the deflation tol, BNN to 1) — iteration counts must be in
+        the same class."""
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+        from prealps_tpu.solvers import ECGOptions
+
+        nel = 8
+        a = elasticity3d(nel, nel, nel, heterogeneous=True)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=3000, layout="tbn")
+        iters = {}
+        for corr in ("sigma", "deflate"):
+            s = StencilLorascECG.build(
+                a, nparts=4, br=3, grid=(nel + 1, nel + 1, nel), opts=opts,
+                dtype=np.float64, max_deflation=24, correction=corr,
+            )
+            x, info = s.solve(b)
+            relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+            assert relres < 1e-5, (corr, relres)
+            iters[corr] = info["iters"]
+        assert iters["deflate"] <= 1.25 * iters["sigma"], iters
+
+    def test_deflate_f32_tracks_f64_with_omin(self, rng):
+        """The round-3 σ-cap causal chain showed f32 σ-LORASC costs ~2.3×
+        the f64 iteration count (amplified components vs f32 state). The
+        balancing form + omin must track the f64 count: this is the
+        f32-robust production configuration (docs/PERFORMANCE.md round-3/4)."""
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+        from prealps_tpu.solvers import ECGOptions
+
+        nel = 14
+        a = elasticity3d(nel, nel, nel, heterogeneous=True)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=12, tol=1e-3, maxiter=6000, layout="tbn",
+                          variant="omin")
+        iters = {}
+        for dt in (np.float64, np.float32):
+            s = StencilLorascECG.build(
+                a, nparts=8, br=3, grid=(nel + 1, nel + 1, nel), opts=opts,
+                dtype=dt, max_deflation=48, correction="deflate",
+                refine=False,
+            )
+            x, info = s.solve(b)
+            relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+            assert relres < 5e-3, (dt, relres)   # TRUE residual, not recursive
+            iters[np.dtype(dt).name] = info["iters"]
+        assert iters["float32"] <= 1.5 * iters["float64"] + 5, iters
