@@ -151,7 +151,7 @@ def _spmm_kernel_record(a, nel, t, dtype, platform):
 
 def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
                   platform, heterogeneous, block_size, inner_tol,
-                  cheb_degree, nparts, max_deflation):
+                  cheb_degree, nparts, max_deflation, correction=None):
     from prealps_tpu.parallel.driver import DistributedECG
 
     n, nnz = a.shape[0], a.nnz
@@ -166,6 +166,8 @@ def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
             a, nparts=nparts, br=3, grid=(nel + 1, nel + 1, nel), opts=opts,
             dtype=dtype, max_deflation=max_deflation, inner_tol=inner_tol,
             pencil="sloc" if precond == "presc" else "agg",
+            correction=correction or os.environ.get(
+                "PREALPS_BENCH_CORRECTION", "sigma"),
         )
     else:
         kwargs = dict(
@@ -271,7 +273,8 @@ def _main():
     b = rng.standard_normal(n)
 
     layout = "tbn" if fmt == "stencil" else "nt"
-    opts = ECGOptions(t=t, tol=tol, maxiter=maxiter, variant="odir_fused",
+    variant = os.environ.get("PREALPS_BENCH_VARIANT", "odir_fused")
+    opts = ECGOptions(t=t, tol=tol, maxiter=maxiter, variant=variant,
                       layout=layout)
     common = dict(opts=opts, dtype=dtype, fmt=fmt, nel=nel, tol=tol,
                   platform=platform, block_size=block_size,
@@ -299,13 +302,24 @@ def _main():
 
     if not fast and not skip_het and on_tpu and not heterogeneous:
         # LORASC on the high-contrast layered variant (the reference's
-        # Table 4 story); TPU-only — CPU would take tens of minutes
+        # Table 4 story); TPU-only — CPU would take tens of minutes.
+        # Production config for this problem class (round 3, measured):
+        # omin (f32-robust true-residual tracking; the odir family drifts
+        # on high contrast) + balancing deflation (no σ-amplified state) —
+        # 1.31 s / 90 iters vs 2.04 s / 151 for odir_fused+sigma.
         try:
             a_het = _load_matrix(nel, True)
             b_het = rng.standard_normal(a_het.shape[0])
+            het_common = dict(common)
+            het_common["opts"] = ECGOptions(
+                t=t, tol=tol, maxiter=maxiter, variant=os.environ.get(
+                    "PREALPS_BENCH_HET_VARIANT", "omin"), layout=layout)
             rec = _solve_record(
                 "ecg_tts_elasticity3d_145k_het_lorasc", a_het, b_het,
-                precond="lorasc", heterogeneous=True, **common,
+                precond="lorasc", heterogeneous=True,
+                correction=os.environ.get(
+                    "PREALPS_BENCH_CORRECTION", "deflate"),
+                **het_common,
             )
             print(json.dumps(rec), flush=True)
         except Exception as e:

@@ -96,6 +96,9 @@ class ECGOptions:
             raise ValueError(f"unknown variant {self.variant!r}")
         if self.layout not in ("nt", "tbn"):
             raise ValueError(f"unknown layout {self.layout!r}")
+        if self.stacked and self.variant == "odir":
+            raise ValueError(
+                "stacked fast paths exist for omin and odir_fused only")
 
 
 class ECGResult(NamedTuple):
@@ -357,10 +360,18 @@ def _iter_odir_fused(state: _State, a_apply, m_apply, axis_name, opts, normb, re
 
 _SX, _SR, _SP, _SPP, _SAP, _SAPP, _SZ = range(7)
 
+# stacked omin slot layout (5 panels; X is slot 0 in BOTH layouts, which is
+# what ecg_finalize relies on)
+_OX, _OR, _OP, _OAP, _OZ = range(5)
+
 
 def _use_stacked(opts: "ECGOptions") -> bool:
     if opts.stacked is not None:
         return opts.stacked
+    # omin stays unstacked by default: its sequential M-dependency leaves
+    # three separate reductions either way, and the measured TPU TTS favors
+    # the unstacked path (het n=148k LORASC: 1.31 s unstacked vs 1.46 s
+    # stacked at equal iterations) — opt in with stacked=True
     return opts.layout == "tbn" and opts.variant == "odir_fused"
 
 
@@ -460,6 +471,93 @@ def _iter_odir_fused_stacked(state, a_apply, m_apply, axis_name, opts,
     )
 
 
+def _iter_omin_stacked(state, a_apply, m_apply, axis_name, opts,
+                       normb, red_tol, ops):
+    """Stacked orthomin: panels [X, R, P, AP, Z] as ONE flat (5t, N) array.
+
+    What stacking buys for omin is the flat SUBLANE-DENSE storage: unstacked
+    (t, br, nrb) panels with br=3 physically move 8/3 of their bytes through
+    every op (docs/PERFORMANCE.md layout rules). The reduction structure is
+    deliberately NOT fused beyond the reference's own omin (ecg.c:289-400,
+    three allreduces): computing alpha as Uiᵀ(PᵀR) off one big Gram — the
+    odir_fused trick — amplifies the raw Gram's f32 rounding by κ(U), and on
+    high-contrast problems that loses the true-residual tracking that makes
+    omin the f32-robust variant (measured: het 14³, honest 2.6e-3 vs a 9e-2
+    true residual with the fused form). So: normalize FIRST, then alpha on
+    the normalized panel — operation order identical to _iter_omin, storage
+    flat.
+    """
+    W2 = state.x_blk                       # (5t, N) flat
+    panel_shape = state.p.shape[1:]
+    mask = state.mask
+    dtype = state.res.dtype
+    t = mask.shape[0]
+
+    # --- reduction 1: mu = APᵀP and the entering residual's rtr ---
+    B = W2[_OR * t:(_OAP + 1) * t]         # contiguous [R, P, AP] rows
+    G = psum(jnp.einsum("aX,bX->ab", B, B, precision=HIGHEST), axis_name)
+    Gb = G.reshape(3, t, 3, t)
+    rtr = Gb[0, :, 0, :]
+    mu = Gb[2, :, 1, :]                    # APᵀP
+    res = jnp.sqrt(jnp.trace(rtr))
+
+    # --- A-CholQR: materialize P̂ = P·Ui, AP̂ = AP·Ui (ecg.c:307-328) ---
+    u = chol_masked(mu, mask)
+    breakdown = jnp.any(jnp.isnan(u))
+    u = jnp.where(breakdown, jnp.eye(t, dtype=dtype), u)
+    ui = tri_inv(u)
+    pap = W2[_OP * t:(_OAP + 1) * t].reshape(2, t, -1)
+    pap = jnp.einsum("dr,sdX->srX", ui, pap, precision=HIGHEST)
+    p_hat, ap_hat = pap[0], pap[1]
+
+    # --- reduction 2: alpha on the NORMALIZED panel (ecg.c:330-339) ---
+    r_rows = W2[_OR * t:(_OR + 1) * t]
+    alpha = psum(jnp.einsum("dX,kX->dk", p_hat, r_rows, precision=HIGHEST),
+                 axis_name) * mask[:, None]
+    x_rows = W2[_OX * t:(_OX + 1) * t] + jnp.einsum(
+        "dr,dX->rX", alpha, p_hat, precision=HIGHEST)
+    r_rows = r_rows - jnp.einsum(
+        "dr,dX->rX", alpha, ap_hat, precision=HIGHEST)
+
+    # --- Z = M⁻¹ R' (the sequential step omin is defined by) ---
+    z = m_apply(r_rows.reshape(panel_shape))
+    zf = z.reshape(t, -1)
+
+    # --- reduction 3: beta = AP̂ᵀZ; new direction P ← (Z − P̂β)·mask ---
+    beta = psum(jnp.einsum("dX,kX->dk", ap_hat, zf, precision=HIGHEST),
+                axis_name)
+    p_new = (zf - jnp.einsum("dr,dX->rX", beta, p_hat, precision=HIGHEST))
+    if opts.adaptive:
+        # BF-Omin rank test (ecg.c:361-393): pivoted Cholesky of P″ᵀP″;
+        # the permutation and trisolve are right-multiplications, so they
+        # compose into ONE small matrix applied to p_new
+        c2 = psum(jnp.einsum("dX,kX->dk", p_new, p_new, precision=HIGHEST),
+                  axis_name)
+        u2, piv, rank = pivoted_cholesky(c2, jnp.asarray(-1.0, dtype))
+        bs = jnp.sum(mask).astype(jnp.int32)
+        t1 = jnp.minimum(rank, bs)
+        mask = (jnp.arange(t) < t1).astype(dtype)
+        diag_fix = (jnp.abs(jnp.diag(u2)) == 0).astype(dtype)
+        u2 = u2 + jnp.diag(diag_fix)
+        perm = jax.nn.one_hot(piv, t, dtype=dtype)       # perm[r,d]=1 ⇔ piv[r]=d
+        u2inv = tri_inv(u2)
+        # target rows = U₂⁻ᵀ (perm @ p_new); the einsum applies mix2ᵀ, so
+        # mix2 = (U₂⁻ᵀ perm)ᵀ = permᵀ U₂⁻¹
+        mix2 = jnp.einsum("dr,dk->rk", perm, u2inv, precision=HIGHEST)
+        p_new = jnp.einsum("dr,dX->rX", mix2, p_new, precision=HIGHEST)
+    p_new = p_new * mask[:, None]
+    ap_new = a_apply(p_new.reshape(panel_shape)).reshape(t, -1)
+    Wn = jnp.concatenate([x_rows, r_rows, p_new, ap_new, zf])
+
+    best_res, stall = _track_stall(state, res, opts.stall_rtol)
+    return state._replace(
+        x_blk=Wn, mask=mask, it=state.it + 1, res=res,
+        breakdown=state.breakdown | breakdown,
+        history=state.history.at[state.it].set(res) if opts.record_history else state.history,
+        best_res=best_res, stall=stall,
+    )
+
+
 _ITER_FNS = {
     "omin": _iter_omin,
     "odir": _iter_odir,
@@ -495,11 +593,15 @@ def ecg_init(
     zeros = jnp.zeros_like(p0)
     history = jnp.full((opts.maxiter,), -1.0, dtype)
     if _use_stacked(opts):
-        # seven panels in ONE FLAT 2-D array (sublane-efficient — see
-        # _iter_odir_fused_stacked); the zero-size `p` placeholder carries
-        # the panel shape for the operator boundary
-        w0 = jnp.stack([zeros, r0, p0, zeros, ap0, zeros, z0])
-        w0 = w0.reshape(7 * t, -1)
+        # panels in ONE FLAT 2-D array (sublane-efficient — see
+        # _iter_odir_fused_stacked): 7 slots for odir_fused, 5 for omin
+        # (slot layouts _SX…/_OX… — X is slot 0 in both); the zero-size `p`
+        # placeholder carries the panel shape for the operator boundary
+        if opts.variant == "omin":
+            w0 = jnp.stack([zeros, r0, p0, ap0, zeros])
+        else:
+            w0 = jnp.stack([zeros, r0, p0, zeros, ap0, zeros, z0])
+        w0 = w0.reshape(-1, int(np.prod(p0.shape[1:])))
         empty = jnp.zeros((0,), dtype)
         state0 = _State(
             x_blk=w0, r=empty, p=jnp.zeros((0,) + p0.shape, dtype), ap=empty,
@@ -527,10 +629,11 @@ def ecg_run(
     (optionally) max_steps more iterations — the chunked-execution primitive
     behind checkpoint/resume."""
     ops = LAYOUTS[opts.layout]
-    iter_fn = (
-        _iter_odir_fused_stacked if _use_stacked(opts)
-        else _ITER_FNS[opts.variant]
-    )
+    if _use_stacked(opts):
+        iter_fn = (_iter_omin_stacked if opts.variant == "omin"
+                   else _iter_odir_fused_stacked)
+    else:
+        iter_fn = _ITER_FNS[opts.variant]
     dtype = state.res.dtype
     t = opts.t
     red_tol = (opts.tol * normb / jnp.sqrt(jnp.asarray(float(t), dtype))).astype(dtype)

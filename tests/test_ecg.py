@@ -331,3 +331,34 @@ class TestStackedIteration:
             out[stacked] = (int(res.iters), int(res.bs))
         assert abs(out[True][0] - out[False][0]) <= 2
         assert out[True][1] == out[False][1]    # same final block size
+
+    @pytest.mark.parametrize("adaptive", [False, True])
+    def test_omin_stacked_matches_unstacked(self, ela_problem, adaptive):
+        """The stacked omin fast path (solvers/ecg.py::_iter_omin_stacked:
+        one (3t)² Gram + composed coefficient GEMMs, two reductions like the
+        reference's omin, ecg.c:289-400) must reproduce the unstacked omin —
+        same algebra through the factor, different GEMM grouping. The
+        stacked residual bookkeeping lags one iteration (fused convention),
+        hence the ±2 band."""
+        from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
+        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+
+        a, b = ela_problem
+        st = csr_to_stencil_bsr_t(a, br=3)
+        nrb = a.shape[0] // 3
+        b_lane = jnp.asarray(np.ascontiguousarray(b.reshape(nrb, 3).T))
+        out = {}
+        for stacked in (False, True):
+            opts = ECGOptions(t=4, tol=1e-9, maxiter=4000, layout="tbn",
+                              variant="omin", adaptive=adaptive,
+                              stacked=stacked)
+            res = jax.jit(
+                lambda bb, o=opts: ecg_solve(
+                    lambda v: stencil_bsr_spmm_t(st, v), None, bb, o)
+            )(b_lane)
+            x = np.asarray(res.x).T.reshape(-1)
+            assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+            out[stacked] = (int(res.iters), int(res.bs))
+        assert abs(out[True][0] - out[False][0]) <= 2, out
+        if adaptive:
+            assert out[True][1] == out[False][1], out
