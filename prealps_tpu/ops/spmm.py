@@ -856,6 +856,12 @@ def panel_from_flat_kmajor(yf: jax.Array, br: int) -> jax.Array:
 
 def stencil_flat_chunk(t_dim: int, br: int, s_max: int) -> int:
     """VMEM-budget chunk for the flat kernel: 3 x views + xw concat + out
-    ((br·t)·chunk each) + the (S·br²·chunk) block tile, double-buffered."""
+    ((br·t)·chunk each) + the (S·br²·chunk) block tile, double-buffered.
+
+    Swept on the real chip (examples/sweep_flat_chunk.py, n=148k/t=12/
+    br=3/S=27): 1536 is the optimum (0.172 ms vs 0.181 at the old budget's
+    1408 and 0.184 at 2048; ≥4096 overflows the Mosaic compile). Prefer it
+    whenever the VMEM budget allows."""
     denom = (7 * t_dim * br + s_max * br * br) * 4 * 2
-    return max((6_000_000 // denom) // 128 * 128, 128)
+    budget = max((7_000_000 // denom) // 128 * 128, 128)
+    return 1536 if budget >= 1536 else budget
