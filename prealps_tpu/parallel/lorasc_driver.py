@@ -124,6 +124,7 @@ class DistributedLorascECG:
         restarts: int = 5,
         exact_schur: Optional[bool] = None,
         agg_dense_max: int = 4096,
+        correction: str = "sigma",
     ) -> "DistributedLorascECG":
         # f32 solves need true-f32 MXU passes (bf16 breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -474,13 +475,17 @@ class DistributedLorascECG:
             )  # (ni_loc, t)
             return jax.lax.all_gather(chunk, LOC, axis=0, tiled=True)
 
-        def m_apply_grp(ops_d, e_mat, sigma, v_grp):
+        def m_apply_grp(ops_d, e_mat, sigma, v_grp, gmod=None):
             """Full LORASC sweep on the group panel (rows_per_group, t),
-            replicated in-group; returns the same shape."""
+            replicated in-group; returns (same shape, replicated zg).
+            gmod: optional replicated (ng_pad, t) separator-rhs subtraction
+            (the balancing pre-projection AŴ Λc⁻¹ Ŵᵀ r — deflate mode)."""
             vi, vg = v_grp[:ni_max], v_grp[ni_max:]
             vg = vg * ops_d["sep_slice_mask"][0][:, None]
             zi = _aii_solve_grp(ops_d, vi)
             g = _sep_assemble(ops_d, vg, zi)
+            if gmod is not None:
+                g = g - gmod
             corr = jnp.einsum("gk,gt->kt", e_mat, g, precision=HIGHEST)
             zg = _agg_solve(ops_d, g)
             zg = zg + jnp.einsum(
@@ -494,7 +499,7 @@ class DistributedLorascECG:
                 (ng_max, vi.shape[1]),
             )
             wg = wg * ops_d["sep_slice_mask"][0][:, None]
-            return jnp.concatenate([wi, wg], axis=0)
+            return jnp.concatenate([wi, wg], axis=0), zg
 
         # --- deflation eigensolve: device Lanczos inside shard_map ---
         nev = min(max_deflation, max(ng_tot - 1, 1))
@@ -506,12 +511,7 @@ class DistributedLorascECG:
         ncv_eff = min(ncv or ncv_default, max(ng_tot - 1, 2))
         sep_mask_np = (sep_pad_of >= 0).astype(dtype)
 
-        def _lanczos_local(ops_d, sep_mask, v0):
-            from prealps_tpu.ops.lanczos import (
-                lanczos_gen,
-                lanczos_thick_restart,
-            )
-
+        def _make_s_apply(ops_d, sep_mask):
             def s_apply(v):
                 # S v = Agg v − Agi Aii⁻¹ Aig v (matrixVectorOp.c AggInvxS)
                 aig_v = _aig_mul_grp(ops_d, v[:, None])       # (ni_max, 1)
@@ -523,6 +523,15 @@ class DistributedLorascECG:
                 )
                 sv = (agg_v + g[:, 0]) * sep_mask
                 return sv + v * (1.0 - sep_mask)
+            return s_apply
+
+        def _lanczos_local(ops_d, sep_mask, v0):
+            from prealps_tpu.ops.lanczos import (
+                lanczos_gen,
+                lanczos_thick_restart,
+            )
+
+            s_apply = _make_s_apply(ops_d, sep_mask)
 
             def b_apply(v):
                 gat = v[ops_d["agg_ell_c"]]
@@ -593,6 +602,66 @@ class DistributedLorascECG:
         specs["e_mat"] = P()
         specs["sigma"] = P()
 
+        # --- balancing-deflation lift (correction="deflate"): the BNN form
+        # over Ŵ = [−Aii⁻¹Aig E; E], mirroring precond/lorasc_scale.py
+        # (_attach_deflation_lift — see there for the f32 rationale and the
+        # Λc eigenvalue floor). Ŵ is stored DEVICE-CHUNKED over the flat
+        # row sharding; AŴ's separator block S E and Λc stay replicated.
+        # exact_schur applies S⁻¹ directly, so deflate is moot there. ---
+        if correction not in ("sigma", "deflate"):
+            raise ValueError(f"unknown correction {correction!r}")
+        deflate_on = (correction == "deflate" and not exact_schur)
+        if deflate_on:
+            sel = np.flatnonzero(np.asarray(sigma) > 0)
+            deflate_on = sel.size > 0
+        if deflate_on:
+            e_sel = jnp.take(e_mat, jnp.asarray(sel, dtype=jnp.int32), axis=1)
+
+            def _lift_local(ops_d, sep_mask, e_s):
+                s_apply = _make_s_apply(ops_d, sep_mask)
+                sv = jax.vmap(s_apply, in_axes=1, out_axes=1)(e_s)
+                sv = sv * sep_mask[:, None]
+                aig_e = _aig_mul_grp(ops_d, e_s)
+                zi = _aii_solve_grp(ops_d, aig_e)      # Aii⁻¹ Aig E, in-group
+                g_idx = jax.lax.axis_index(AXIS)
+                l_idx = jax.lax.axis_index(LOC)
+                e_slc = jax.lax.dynamic_slice(
+                    e_s, ((g_idx * ng_max).astype(jnp.int32), jnp.int32(0)),
+                    (ng_max, e_s.shape[1]),
+                ) * ops_d["sep_slice_mask"][0][:, None]
+                w_grp = jnp.concatenate([-zi, e_slc], axis=0)
+                w_loc = jax.lax.dynamic_slice(
+                    w_grp, ((l_idx * rpl).astype(jnp.int32), jnp.int32(0)),
+                    (rpl, e_s.shape[1]),
+                )
+                lc = jnp.einsum("gk,gj->kj", e_s, sv, precision=HIGHEST)
+                return w_loc, sv, lc
+
+            lift_fn = jax.jit(
+                _shard_map(
+                    _lift_local, mesh=mesh, in_specs=(specs, P(), P()),
+                    out_specs=(P((AXIS, LOC), None), P(), P()),
+                    check_vma=False,
+                )
+            )
+            w_lift, aw_sep, lc = lift_fn(
+                operands, jnp.asarray(sep_mask_np), e_sel)
+            lc64 = np.asarray(lc, dtype=np.float64)
+            lc64 = 0.5 * (lc64 + lc64.T)
+            lam_c, u_c = np.linalg.eigh(lc64)
+            lam_c = np.maximum(lam_c, deflation_tol * _floor_frac)
+            linv = (u_c / np.sqrt(lam_c)[None, :]).T
+            operands["w_lift"] = w_lift
+            operands["aw_sep"] = aw_sep
+            operands["coarse_linv"] = jnp.asarray(linv.astype(dtype))
+            specs["w_lift"] = P((AXIS, LOC), None)
+            specs["aw_sep"] = P()
+            specs["coarse_linv"] = P()
+            # the σ path is superseded — zero its operands (1-col, no cost)
+            operands["e_mat"] = jnp.zeros((ng_pad, 1), dtype=dtype)
+            operands["sigma"] = jnp.zeros((1,), dtype=dtype)
+            deflated = int(sel.size)
+
         # --- the jitted ECG solve ---
         def local_solve(b_loc, ops_d):
             def a_apply(x_loc):
@@ -602,17 +671,42 @@ class DistributedLorascECG:
                     "ml,mlt->mt", ops_d["ell_vals"], gathered, precision=HIGHEST
                 )
 
+            def _coarse(ops_d, c):
+                linv = ops_d["coarse_linv"]
+                u = jnp.einsum("kj,jt->kt", linv, c, precision=HIGHEST)
+                return jnp.einsum("jk,jt->kt", linv, u, precision=HIGHEST)
+
             def m_apply(v_loc):
-                # (rpl, t) device chunk -> group panel -> sweep -> chunk
+                # (rpl, t) device chunk -> group panel -> sweep -> chunk;
+                # deflate mode wraps the sweep in the BNN projections (see
+                # precond/lorasc_scale.lorasc_apply): c1 = Ŵᵀr is one psum
+                # over the device chunks, the pre-projection only touches
+                # the separator rhs, the post-projection adds the local
+                # Ŵ-chunk GEMM.
                 v_grp = jax.lax.all_gather(v_loc, LOC, axis=0, tiled=True)
-                w_grp = m_apply_grp(
-                    ops_d, ops_d["e_mat"], ops_d["sigma"], v_grp
+                gmod = c1 = None
+                if "w_lift" in ops_d:
+                    c1 = jax.lax.psum(jnp.einsum(
+                        "rk,rt->kt", ops_d["w_lift"], v_loc,
+                        precision=HIGHEST), both)
+                    gmod = jnp.einsum(
+                        "gk,kt->gt", ops_d["aw_sep"], _coarse(ops_d, c1),
+                        precision=HIGHEST)
+                w_grp, zg = m_apply_grp(
+                    ops_d, ops_d["e_mat"], ops_d["sigma"], v_grp, gmod
                 )
                 l_idx = jax.lax.axis_index(LOC)
-                return jax.lax.dynamic_slice(
+                out = jax.lax.dynamic_slice(
                     w_grp, ((l_idx * rpl).astype(jnp.int32), jnp.int32(0)),
                     (rpl, v_loc.shape[1]),
                 )
+                if "w_lift" in ops_d:
+                    d = jnp.einsum("gk,gt->kt", ops_d["aw_sep"], zg,
+                                   precision=HIGHEST)
+                    out = out + jnp.einsum(
+                        "rk,kt->rt", ops_d["w_lift"], _coarse(ops_d, c1 - d),
+                        precision=HIGHEST)
+                return out
 
             g_idx = jax.lax.axis_index(AXIS)
             l_idx = jax.lax.axis_index(LOC)

@@ -206,3 +206,40 @@ class TestDistributedLorascF32:
         x, info = solver.solve(b)
         assert info.get("refine_rounds", 0) >= 1
         assert _relres(ela_small, x, b) < 1e-5
+
+
+class TestDistributedDeflateCorrection:
+    def test_deflate_matches_sigma_iterations(self, ela_small, rng):
+        """Distributed correction="deflate" (BNN projection over the
+        device-chunked lift, parallel/lorasc_driver.py) must converge in the
+        same iteration class as the σ form and to the same solution."""
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=2000, variant="odir_fused")
+        iters = {}
+        for corr in ("sigma", "deflate"):
+            s = DistributedLorascECG.build(
+                ela_small, nshards=4, opts=opts, exact_schur=False,
+                max_deflation=16, correction=corr,
+            )
+            x, info = s.solve(b)
+            assert _relres(ela_small, x, b) < 1e-5, corr
+            assert not info["breakdown"]
+            iters[corr] = info["iters"]
+        assert iters["deflate"] <= 1.25 * iters["sigma"] + 5, iters
+
+    def test_deflate_two_level_mesh(self, ela_small, rng):
+        """deflate on the ("shards","local") two-level mesh: the Ŵ chunks
+        shard over BOTH axes and c1 psums over both."""
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s = DistributedLorascECG.build(
+            ela_small, mesh_shape=(4, 2), opts=opts, exact_schur=False,
+            max_deflation=16, correction="deflate",
+        )
+        x, info = s.solve(b)
+        assert _relres(ela_small, x, b) < 1e-5
+        assert not info["breakdown"]
