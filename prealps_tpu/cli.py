@@ -197,6 +197,14 @@ def lorasc_main(argv=None):
                    "(S u = λ Sloc u with exact local Schur complements, "
                    "presc.h:18-21 + presc.c:239-241)")
     p.add_argument("--max-deflation", type=int, default=64)
+    p.add_argument("--correction", default="sigma",
+                   choices=["sigma", "deflate"],
+                   help="low-rank correction form (--scalable and "
+                   "distributed builds): sigma = reference E σ Eᵀ "
+                   "(lorasc_eigsolve.c:247); deflate = balancing/BNN "
+                   "projection over the harmonic lift — f32-robust, pair "
+                   "with -o omin on high-contrast problems "
+                   "(docs/PERFORMANCE.md round-3 continuation)")
     args = p.parse_args(argv)
 
     from prealps_tpu.api import ECGSolver
@@ -215,7 +223,7 @@ def lorasc_main(argv=None):
             a, nparts=args.nparts, opts=_dc_replace(opts, layout="tbn"),
             deflation_tol=args.deflation_tol,
             max_deflation=args.max_deflation, dtype=_dtype_of(args),
-            pencil=args.pencil,
+            pencil=args.pencil, correction=args.correction,
         )
     elif args.precond == "lorasc" and (args.nshards > 1 or args.np_level1):
         from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
@@ -230,6 +238,7 @@ def lorasc_main(argv=None):
         solver = DistributedLorascECG.build(
             a, nshards=args.nshards, opts=opts, mesh_shape=mesh_shape,
             deflation_tol=args.deflation_tol, dtype=_dtype_of(args),
+            correction=args.correction,
         )
     else:
         kwargs = dict(nparts=args.nparts, deflation_tol=args.deflation_tol,
