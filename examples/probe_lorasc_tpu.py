@@ -55,17 +55,26 @@ def main():
     rng = np.random.default_rng(0)
     b = rng.standard_normal(a.shape[0])
 
+    variant = os.environ.get("PREALPS_PROBE_VARIANT", "omin")
+    correction = os.environ.get("PREALPS_PROBE_CORRECTION", "deflate")
+    hr_env = os.environ.get("PREALPS_PROBE_HOST_REFINE", "")
+    host_refine = None if hr_env == "" else bool(int(hr_env))
+    repeats = int(os.environ.get("PREALPS_PROBE_REPEATS", "1"))
+
     t0 = time.time()
     solver = StencilLorascECG.build(
         a, nparts=nparts, br=3, grid=(nel + 1, nel + 1, nel),
         opts=ECGOptions(t=t, tol=tol, maxiter=3000, layout="tbn",
+                        variant=variant,
                         stall_window=int(os.environ.get("PREALPS_PROBE_STALL", "0")) or 0),
         dtype=dtype, max_deflation=defl, shift=shift,
         refine=bool(int(os.environ.get("PREALPS_PROBE_REFINE", "1"))),
+        host_refine=host_refine, correction=correction,
     )
     build_t = time.time() - t0
     plan = solver.precond.plan
-    log(f"build {build_t:.1f}s deflated={solver.precond.deflated} "
+    log(f"build {build_t:.1f}s stages={solver.precond.timings} "
+        f"deflated={solver.precond.deflated} "
         f"bs_i={plan.bs_i} nblk_i={plan.nblk_i} bs_g={plan.bs_g} "
         f"nblk_g={plan.nblk_g} ng={plan.ng}")
 
@@ -74,14 +83,19 @@ def main():
     warm = time.time() - t0
     log(f"warm solve {warm:.1f}s iters={info['iters']} "
         f"rounds={info.get('refine_rounds')}")
-    t0 = time.time()
-    x, info = solver.solve(b)
-    tts = time.time() - t0
+    runs = []
+    for _ in range(repeats):
+        t0 = time.time()
+        x, info = solver.solve(b)
+        runs.append((round(time.time() - t0, 3), info["iters"]))
+    tts, iters = min(runs)
     relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
-    log(f"timed solve {tts:.2f}s iters={info['iters']} relres={relres:.2e}")
-    print(dict(build_s=round(build_t, 1), tts=round(tts, 2),
-               iters=info["iters"], relres=float(relres),
-               deflated=solver.precond.deflated, het=het, nparts=nparts))
+    log(f"timed solves {runs} relres={relres:.2e}")
+    print(dict(build_s=round(build_t, 1), stages=solver.precond.timings,
+               tts=tts, iters=iters, runs=runs, relres=float(relres),
+               deflated=solver.precond.deflated, het=het, nparts=nparts,
+               variant=variant, correction=correction,
+               host_refine=host_refine, defl=defl))
 
 
 if __name__ == "__main__":

@@ -21,6 +21,8 @@ def _resolve_layout(args):
     supports it, row-major elsewhere."""
     if args.layout is not None:
         return args.layout
+    if args.fmt == "auto":
+        return "nt"   # the driver re-resolves layout to match the detected fmt
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -84,8 +86,12 @@ def _common_parser(desc):
     p.add_argument("-t", "--tol", type=float, default=1e-5)
     p.add_argument("-i", "--maxiter", type=int, default=10000)
     p.add_argument("--nshards", type=int, default=1)
-    p.add_argument("--fmt", default="ell",
-                   choices=["ell", "dia", "stencil", "block_ell", "block_ell_xla"])
+    p.add_argument("--fmt", default="auto",
+                   choices=["auto", "ell", "dia", "stencil", "block_ell",
+                            "block_ell_xla"],
+                   help="matrix storage format; auto (default) detects the "
+                        "fastest structure (stencil → DIA → Morton-clustered "
+                        "block-ELL → ELL) and logs the choice")
     p.add_argument("--layout", default=None, choices=[None, "nt", "tbn"],
                    help="panel layout (tbn = lane-major TPU fast path; "
                         "default: tbn on TPU for stencil/dia, nt otherwise)")
@@ -241,6 +247,11 @@ def lorasc_main(argv=None):
             correction=args.correction,
         )
     else:
+        if args.correction == "deflate":
+            raise SystemExit(
+                "error: --correction deflate requires --scalable or a "
+                "distributed build (--nshards/--np-level1); the small-scale "
+                "path implements the sigma form only")
         kwargs = dict(nparts=args.nparts, deflation_tol=args.deflation_tol,
                       dtype=_dtype_of(args))
         if args.precond == "lorasc":

@@ -322,3 +322,81 @@ def permute(a: sp.spmatrix, perm: np.ndarray) -> sp.csr_matrix:
     out.sort_indices()
     return out
 
+
+def pseudo_coords(a: sp.spmatrix, k: int = 3, smooth: int = 3) -> np.ndarray:
+    """BFS landmark embedding: k hop-distance coordinates per vertex.
+
+    For matrices without geometry (a SuiteSparse .mtx has no node
+    coordinates), the graph's own hop metric is a usable stand-in: pick k
+    mutually-far landmarks (greedy farthest-point over BFS levels, seeded at
+    a pseudo-peripheral vertex) and use the hop distance to each landmark as
+    a coordinate. On mesh-like graphs this recovers the geometry well enough
+    for locality-preserving (Morton) row clustering — the role coordinates
+    play in the reference's METIS partition (SURVEY §2.1 #8); here they feed
+    the gather-amortizing block clustering instead.
+    """
+    from scipy.sparse.csgraph import dijkstra
+
+    adj = _adjacency(a)
+    n = adj.shape[0]
+    coords = np.zeros((n, k), dtype=np.float64)
+
+    def _bfs(src):
+        d = dijkstra(adj, indices=src, unweighted=True, directed=False)
+        finite = np.isfinite(d)
+        far = d[finite].max() if finite.any() else 0.0
+        d[~finite] = far + 1   # disconnected: push to the far end
+        return d
+
+    # double-BFS pseudo-peripheral seed
+    lm = int(np.argmax(_bfs(0)))
+    lm = int(np.argmax(_bfs(lm)))
+    mindist = None
+    for j in range(k):
+        level = _bfs(lm)
+        coords[:, j] = level
+        mindist = level if mindist is None else np.minimum(mindist, level)
+        lm = int(np.argmax(mindist))         # farthest-point next landmark
+    # hop distances are coarsely quantized (graph diameter ≈ a few dozen
+    # levels); Jacobi-smoothing against the adjacency interpolates fractional
+    # positions and measurably tightens the Morton clustering (~10 %)
+    if smooth > 0:
+        deg = np.maximum(np.asarray(adj.sum(axis=1)).ravel(), 1.0)
+        for _ in range(smooth):
+            coords = 0.5 * coords + 0.5 * (adj @ coords) / deg[:, None]
+    return coords
+
+
+def morton_perm(coords: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Row permutation by Morton (Z-order) code over up to 3 coordinates.
+
+    Interleaving the quantized coordinate bits keeps geometrically-near rows
+    adjacent, so fixed-size row/column blocks of the permuted matrix have a
+    high fill ratio — the amortization that beats the per-row gather-rate
+    ceiling of plain ELL on TPU (docs/PERFORMANCE.md general-SpMM study).
+    """
+    q = np.asarray(coords, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[:, None]
+    q = q[:, :3]
+    lo, hi = q.min(axis=0), q.max(axis=0)
+    span = np.maximum(hi - lo, 1e-300)
+    qi = np.minimum(((q - lo) / span * (1 << bits)).astype(np.int64),
+                    (1 << bits) - 1)
+
+    def _spread(v):
+        v = v.astype(np.int64)
+        v = (v | (v << 32)) & 0x1F00000000FFFF
+        v = (v | (v << 16)) & 0x1F0000FF0000FF
+        v = (v | (v << 8)) & 0x100F00F00F00F00F
+        v = (v | (v << 4)) & 0x10C30C30C30C30C3
+        v = (v | (v << 2)) & 0x1249249249249249
+        return v
+
+    code = _spread(qi[:, 0])
+    if qi.shape[1] > 1:
+        code = code | (_spread(qi[:, 1]) << 1)
+    if qi.shape[1] > 2:
+        code = code | (_spread(qi[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
+

@@ -338,6 +338,98 @@ def dia_coverage(a: sp.spmatrix, min_fill: float = 0.2) -> float:
     return float(counts[dense].sum() / max(a.nnz, 1))
 
 
+def block_fill(a: sp.spmatrix, bm: int = 8, bk: int = 8) -> float:
+    """nnz density of the occupied bm×bk blocks (1.0 = perfectly dense)."""
+    coo = sp.csr_matrix(a).tocoo()
+    if coo.nnz == 0:
+        return 0.0
+    ncb = -(-a.shape[1] // bk)
+    keys = (coo.row // bm).astype(np.int64) * ncb + coo.col // bk
+    nblk = np.unique(keys).size
+    return float(coo.nnz / (nblk * bm * bk))
+
+
+def detect_format(
+    a: sp.spmatrix,
+    br: int = 3,
+    nshards: int = 1,
+    dia_min_cov: float = 0.85,
+    bell_min_fill: float = 0.10,
+) -> tuple[str, dict]:
+    """Pick the fastest storage format for `a` on TPU (the product path for
+    the reference's "any CSR at memory speed" role, mkl_dcsrmm,
+    utils/cplm_light/cplm_kernels.c:620-671 — on TPU one format does not fit
+    all, so structure extraction IS the product path).
+
+    Cascade, best measured throughput first (docs/PERFORMANCE.md general-SpMM
+    study on one v5e chip):
+      1. stencil-BSR  (~60 Gnnz/s): constant node-offset stencil pattern;
+      2. DIA+ELL      (~tens of Gnnz/s): ≥ dia_min_cov of nnz on promoted
+         diagonals (tried in caller order AND under RCM);
+      3. Morton-clustered block-ELL (measured 1.9× over ELL at fill≈0.17):
+         geometric/mesh graphs without grid order — BFS-landmark
+         pseudo-coordinates + Morton order make 8×8 blocks dense enough that
+         ONE gather index fetches a whole (8, t) X-block: a 64·fill
+         reduction in gather indices (the ~0.2 Gindex/s ceiling) against a
+         1/fill MXU-compute inflation; below fill≈0.10 it stops paying;
+      4. ELL          (gather-bound floor): anything else.
+
+    Returns (fmt, info): fmt in {"stencil", "dia", "block_ell_morton",
+    "ell"}; info carries the scores and, for block_ell_morton, the
+    permutation under info["perm"].
+    """
+    a = sp.csr_matrix(a)
+    n, m = a.shape
+    info: dict = {}
+
+    # 1. stencil: few unique node offsets + dense-enough blocks
+    if n == m and n % br == 0:
+        coo = a.tocoo()
+        delta = coo.col.astype(np.int64) // br - coo.row.astype(np.int64) // br
+        offs = np.unique(delta)
+        info["stencil_offsets"] = int(offs.size)
+        if offs.size <= 64:
+            fill = a.nnz / ((n // br) * offs.size * br * br)
+            info["stencil_fill"] = round(float(fill), 3)
+            if fill >= 0.1:
+                return "stencil", info
+
+    # 2. diagonal coverage (caller order, then RCM — csr_to_dia_ell_auto
+    # re-derives the same choice at build time)
+    cov = dia_coverage(a, min_fill=0.05)
+    info["dia_coverage"] = round(float(cov), 3)
+    if cov < dia_min_cov and n == m:
+        from prealps_tpu.core.partition import rcm_order
+
+        perm_r = rcm_order(a)
+        cov_r = dia_coverage(a[perm_r][:, perm_r].tocsr(), min_fill=0.05)
+        info["dia_coverage_rcm"] = round(float(cov_r), 3)
+        cov = max(cov, cov_r)
+    if cov >= dia_min_cov:
+        return "dia", info
+
+    # 3. Morton-clustered block-ELL vs plain ELL. Multi-shard block-ELL
+    # exchanges 128-wide column blocks, so score the fill at that width.
+    bk = 8 if nshards <= 1 else 128
+    fill_nat = block_fill(a, 8, bk)
+    info["bell_fill_natural"] = round(fill_nat, 3)
+    if n == m:
+        from prealps_tpu.core.partition import morton_perm, pseudo_coords
+
+        perm = morton_perm(pseudo_coords(a))
+        ap = a[perm][:, perm].tocsr()
+        fill_m = block_fill(ap, 8, bk)
+        info["bell_fill_morton"] = round(fill_m, 3)
+        if fill_m >= bell_min_fill and fill_m > 1.1 * fill_nat:
+            info["perm"] = perm
+            return "block_ell_morton", info
+    if fill_nat >= bell_min_fill:
+        return "block_ell_natural", info
+
+    # 4. gather-bound floor
+    return "ell", info
+
+
 def csr_to_dia_ell_auto(
     a: sp.spmatrix, min_fill: float = 0.2, dtype=None
 ):

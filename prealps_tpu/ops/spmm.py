@@ -861,7 +861,11 @@ def stencil_flat_chunk(t_dim: int, br: int, s_max: int) -> int:
     Swept on the real chip (examples/sweep_flat_chunk.py, n=148k/t=12/
     br=3/S=27): 1536 is the optimum (0.172 ms vs 0.181 at the old budget's
     1408 and 0.184 at 2048; ≥4096 overflows the Mosaic compile). Prefer it
-    whenever the VMEM budget allows."""
+    only while total VMEM usage stays within the sweep point's measured-safe
+    footprint (1536·denom(t=12,br=3,S=27) ≈ 6.1 MB); everything else keeps
+    the conservative 6 MB budget — larger t/S shapes have NOT been swept and
+    a 17 % larger chunk there risks the Mosaic VMEM-overflow failure mode."""
     denom = (7 * t_dim * br + s_max * br * br) * 4 * 2
-    budget = max((7_000_000 // denom) // 128 * 128, 128)
-    return 1536 if budget >= 1536 else budget
+    if 1536 * denom <= 6_100_000:
+        return 1536
+    return max((6_000_000 // denom) // 128 * 128, 128)

@@ -12,6 +12,7 @@ all-gather the X panel — with psum for every Gram reduction.
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass
 from typing import Optional
 
@@ -89,6 +90,8 @@ class DistributedECG:
     target_tol: float = 0.0
     a_scaled: Optional[sp.csr_matrix] = None  # for refinement residuals
     _refine_fn: object = None   # device-side refinement loop (see solve())
+    pre_perm: Optional[np.ndarray] = None  # fmt="auto" clustering permutation
+    fmt_info: Optional[dict] = None        # fmt="auto" detection scores
 
     @classmethod
     def build(
@@ -118,6 +121,42 @@ class DistributedECG:
         # orthogonality on TPU (HIGHEST is a no-op on CPU/f64).
         jax.config.update("jax_default_matmul_precision", "highest")
         a = sp.csr_matrix(a)
+
+        # fmt="auto": structure extraction as the product path — detect the
+        # fastest format (stencil → DIA → Morton block-ELL → ELL; see
+        # ops/formats.py detect_format) instead of handing arbitrary .mtx
+        # input to the gather-bound ELL floor. The lane-major fast layout
+        # follows the chosen format.
+        pre_perm = None
+        fmt_info = None
+        bell_bk = None
+        if fmt == "auto":
+            from dataclasses import replace as _dc_replace
+
+            from prealps_tpu.ops.formats import detect_format
+
+            nsh_hint = nshards if nshards else len(jax.devices())
+            fmt, fmt_info = detect_format(a, br=br, nshards=nsh_hint)
+            # the measured-best general path is the XLA gather block-ELL at
+            # 8×8 (examples/bench_spmm_general.py; the Pallas streaming
+            # kernel is tuned for bk=128 halo blocks)
+            if fmt == "block_ell_morton":
+                pre_perm = fmt_info.pop("perm")
+                a = a[pre_perm][:, pre_perm].tocsr()
+                fmt = "block_ell_xla"
+                bell_bk = 8 if nsh_hint <= 1 else None
+            elif fmt == "block_ell_natural":
+                fmt = "block_ell_xla"
+                bell_bk = 8 if nsh_hint <= 1 else None
+            want = ("tbn" if fmt in ("stencil", "dia")
+                    and jax.default_backend() == "tpu" else "nt")
+            if opts.layout != want:
+                opts = _dc_replace(opts, layout=want)
+            fmt_info["chosen"] = fmt + (":morton" if pre_perm is not None
+                                        else "")
+            print(f"[prealps fmt=auto] chose {fmt_info['chosen']} "
+                  f"(layout={want}) scores={fmt_info}", file=sys.stderr)
+
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
         scale_d = None
         if scale:
@@ -341,7 +380,8 @@ class DistributedECG:
                 mat_operands = (de.diags, rem_vals, rem_cols)
                 mat_specs = (P(None, AXIS), P(AXIS, None), P(AXIS, None))
         elif fmt in ("block_ell", "block_ell_xla"):
-            bell = csr_to_block_ell(a_pad, bm=8, bk=128, dtype=dtype)
+            bk_eff = 128 if (nshards > 1 or not bell_bk) else bell_bk
+            bell = csr_to_block_ell(a_pad, bm=8, bk=bk_eff, dtype=dtype)
             assert bell.shape[0] == n_pad, "row padding must already align to 8"
             ncols_pad = bell.shape[1]
             interpret = jax.devices()[0].platform != "tpu"
@@ -974,6 +1014,7 @@ class DistributedECG:
         operands = (mat_operands, bj_operands)
         obj = cls(
             layout=layout, opts=opts, mesh=mesh, scale_d=scale_d,
+            pre_perm=pre_perm, fmt_info=fmt_info,
             _solve_fn=fn, _operands=operands,
             target_tol=target_tol, a_scaled=a if refine else None,
             _refine_fn=refine_fn,
@@ -1112,6 +1153,10 @@ class DistributedECG:
         import os
 
         b = np.asarray(b)
+        if self.pre_perm is not None:
+            # fmt="auto" clustering permutation: the whole build (scaling
+            # included) ran on A[perm][:, perm]
+            b = b[self.pre_perm]
         b_eff = self.scale_d * b if self.scale_d is not None else b.astype(np.float64)
 
         if self.a_scaled is None:
@@ -1125,6 +1170,10 @@ class DistributedECG:
                         or info0["breakdown"]):
                     if self.scale_d is not None:
                         x0 = self.scale_d * x0
+                    if self.pre_perm is not None:
+                        x_orig = np.empty_like(x0)
+                        x_orig[self.pre_perm] = x0
+                        x0 = x_orig
                     return x0, info0
                 # device loop hit its residual floor above target (XLA:CPU
                 # contracts a*b+c to fma, degrading the df transforms —
@@ -1160,6 +1209,10 @@ class DistributedECG:
 
         if self.scale_d is not None:
             x = self.scale_d * x
+        if self.pre_perm is not None:
+            x_orig = np.empty_like(x)
+            x_orig[self.pre_perm] = x
+            x = x_orig
         return x, info
 
 

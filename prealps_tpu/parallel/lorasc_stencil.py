@@ -98,47 +98,8 @@ class StencilLorascECG:
 
         n = a.shape[0]
         nrb = n // br
-        t = opts.t
 
-        from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
-        from prealps_tpu.precond.lorasc_scale import lorasc_apply
-        from prealps_tpu.solvers.ecg import ecg_init, ecg_run
-
-        r_idx = jnp.arange(nrb)[None, :]
-        k_idx = jnp.arange(br)[:, None]
-        grow = r_idx * br + k_idx
-        assign = ((grow * t) // n).astype(jnp.int32)
-        plan = precond.plan
-
-        # operands go in as jit ARGUMENTS — closing over them would embed
-        # the multi-GB factor arrays as constants in the lowered module.
-        # The solve runs in CHUNKS of bounded device dispatches with a
-        # scalars-only host sync between them: long single while_loop
-        # dispatches are where the remote-attach TPU worker flakes, and
-        # chunking also gives live iteration progress.
-        chunk = int(os.environ.get("PREALPS_LORASC_CHUNK", "400"))
-
-        def _aap(m_ops):
-            return lambda x: stencil_bsr_spmm_t(m_ops["a_stencil"], x)
-
-        def _map(m_ops):
-            return lambda r: lorasc_apply(plan, m_ops, r)
-
-        def init(b, m_ops):
-            return ecg_init(_aap(m_ops), _map(m_ops), b, opts,
-                            split_assign=assign)
-
-        def step(s, nb, m_ops):
-            s = ecg_run(_aap(m_ops), _map(m_ops), s, nb, opts,
-                        max_steps=chunk)
-            return s, jnp.stack([
-                s.it.astype(jnp.float32), s.res.astype(jnp.float32),
-                s.breakdown.astype(jnp.float32),
-                jnp.sum(s.mask).astype(jnp.float32),
-                s.stall.astype(jnp.float32),
-            ])
-
-        fn = (jax.jit(init), jax.jit(step))
+        fn = _compile_ecg_fns(precond.plan, opts, n, br)
         obj = cls(
             n=n, br=br, nrb=nrb, opts=opts, scale_d=scale_d, precond=precond,
             _fn=fn, target_tol=target_tol, a_scaled=a if refine else None,
@@ -146,7 +107,35 @@ class StencilLorascECG:
         obj._m_ops = precond.operands
         return obj
 
+    def with_tol(self, tol: float, inner_tol: float = 1e-3,
+                 refine: Optional[bool] = None) -> "StencilLorascECG":
+        """A solver at a different target tolerance SHARING this built
+        preconditioner (the LORASC build is tolerance-independent; only the
+        ECG loop needs re-tracing). The BASELINE.md deep-tolerance record
+        rides this instead of paying a second build."""
+        from dataclasses import replace as _dc_replace
+
+        dtype = np.asarray(self.precond.operands["sep_mask"]).dtype
+        if refine is None:
+            refine = dtype == np.float32 and tol < inner_tol
+        if refine and self.a_scaled is None:
+            raise ValueError("refined with_tol() needs a_scaled from a "
+                             "refined original build")
+        opts = _dc_replace(
+            self.opts, tol=inner_tol if refine else tol,
+            stall_window=self.opts.stall_window or (250 if refine else 0),
+        )
+        fn = _compile_ecg_fns(self.precond.plan, opts, self.n, self.br)
+        obj = StencilLorascECG(
+            n=self.n, br=self.br, nrb=self.nrb, opts=opts,
+            scale_d=self.scale_d, precond=self.precond, _fn=fn,
+            target_tol=tol, a_scaled=self.a_scaled if refine else None,
+        )
+        obj._m_ops = self.precond.operands
+        return obj
+
     def _solve_scaled_once(self, b_eff: np.ndarray):
+        # (jitted fns built by _compile_ecg_fns below)
         from prealps_tpu.solvers.ecg import ecg_finalize
 
         init, step = self._fn
@@ -193,3 +182,50 @@ class StencilLorascECG:
         if self.scale_d is not None:
             x = self.scale_d * x
         return x, info
+
+
+def _compile_ecg_fns(plan, opts: ECGOptions, n: int, br: int):
+    """Jitted (init, step) for the chunked ECG loop over the stencil fast
+    path with the scalable-LORASC apply.
+
+    Operands go in as jit ARGUMENTS — closing over them would embed the
+    multi-GB factor arrays as constants in the lowered module. The solve
+    runs in CHUNKS of bounded device dispatches with a scalars-only host
+    sync between them: long single while_loop dispatches are where the
+    remote-attach TPU worker flakes, and chunking also gives live iteration
+    progress."""
+    import jax.numpy as jnp
+
+    from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+    from prealps_tpu.precond.lorasc_scale import lorasc_apply
+    from prealps_tpu.solvers.ecg import ecg_init, ecg_run
+
+    nrb = n // br
+    t = opts.t
+    r_idx = jnp.arange(nrb)[None, :]
+    k_idx = jnp.arange(br)[:, None]
+    grow = r_idx * br + k_idx
+    assign = ((grow * t) // n).astype(jnp.int32)
+    chunk = int(os.environ.get("PREALPS_LORASC_CHUNK", "400"))
+
+    def _aap(m_ops):
+        return lambda x: stencil_bsr_spmm_t(m_ops["a_stencil"], x)
+
+    def _map(m_ops):
+        return lambda r: lorasc_apply(plan, m_ops, r)
+
+    def init(b, m_ops):
+        return ecg_init(_aap(m_ops), _map(m_ops), b, opts,
+                        split_assign=assign)
+
+    def step(s, nb, m_ops):
+        s = ecg_run(_aap(m_ops), _map(m_ops), s, nb, opts,
+                    max_steps=chunk)
+        return s, jnp.stack([
+            s.it.astype(jnp.float32), s.res.astype(jnp.float32),
+            s.breakdown.astype(jnp.float32),
+            jnp.sum(s.mask).astype(jnp.float32),
+            s.stall.astype(jnp.float32),
+        ])
+
+    return (jax.jit(init), jax.jit(step))

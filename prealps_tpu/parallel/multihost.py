@@ -83,6 +83,27 @@ def global_mesh_2level(axes: tuple = ("host", "chip")):
     return Mesh(arr, axes)
 
 
+def make_global(mesh, pspec, host_array):
+    """Host data (replicated per process) -> one GLOBAL sharded jax.Array.
+
+    In multi-controller JAX every process holds only its own devices; a
+    shard_map over the global mesh needs arrays whose sharding spans all
+    processes. Each process calls this with the SAME host_array (matrix
+    panels and rhs come from the same deterministic partition on every
+    process — the reference ships panels over MPI instead,
+    operator.c:82-121); jax materialises only the addressable shards
+    locally and wires the rest into the global Array.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, pspec)
+    host_array = np.asarray(host_array)
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx]
+    )
+
+
 def process_count() -> int:
     import jax
 

@@ -267,6 +267,7 @@ class ScalableLorasc:
     plan: ArrowBandPlan
     operands: dict = field(repr=False)   # device arrays, see build
     deflated: int = 0
+    timings: dict = field(default_factory=dict)  # build stage wall-clock (s)
 
     def apply(self, r: jax.Array) -> jax.Array:
         return lorasc_apply(self.plan, self.operands, r)
@@ -714,10 +715,21 @@ def build_scalable_lorasc(
     (balancing/BNN projection over the lifted basis — see lorasc_apply;
     robust in f32 where σ amplification forces the cap).
     """
+    import time as _time
+
     from prealps_tpu.core.gridpart import collapse_to_nodes, grid_box_partition
     from prealps_tpu.ops.formats import csr_to_stencil_bsr_t
     from prealps_tpu.ops.lanczos import lanczos_gen
     from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
+
+    timings: dict = {}
+    _t0 = _time.time()
+
+    def _mark(stage):
+        nonlocal _t0
+        now = _time.time()
+        timings[stage] = round(now - _t0, 2)
+        _t0 = now
 
     a = sp.csr_matrix(a)
     n = a.shape[0]
@@ -742,6 +754,7 @@ def build_scalable_lorasc(
         in_sep = arrow.part < 0
 
     plan = plan_arrow_bands(node_graph, node_part, in_sep, nparts, br)
+    _mark("plan")
 
     dev = dict(
         a_stencil=a_stencil,
@@ -787,11 +800,13 @@ def build_scalable_lorasc(
     )
     sep_mask = (np.arange(plan.ng_pad) < plan.ng).astype(dtype)
     dev["sep_mask"] = jnp.asarray(sep_mask)
+    _mark("factor")
 
     if pencil == "sloc":
         # PRESC SSLOC pencil: S u = λ Sloc u (reference presc.h:18-21) —
         # exact local Schur complements assembled on device
         dev = _build_sloc_operands(plan, node_graph, a_stencil, dev, dtype)
+        _mark("sloc")
     elif pencil != "agg":
         raise ValueError(f"unknown pencil {pencil!r} (agg | sloc)")
 
@@ -896,6 +911,8 @@ def build_scalable_lorasc(
 
     v0 = jnp.asarray(sep_mask * 1e-2, dtype=dtype)
     theta, vecs, bnorm2, resid = _lanczos_run(dev, d_g, e_g, v0)
+    theta.block_until_ready()
+    _mark("lanczos")
 
     # device-side static selection: theta ascending, keep λ ≤ tol among the
     # first `nev`; σ = (tol−λ)/λ (reference lorasc_eigsolve.c:247), unselected
@@ -932,9 +949,17 @@ def build_scalable_lorasc(
     # (splu per interior + k solves); the refined σ floor relaxes to
     # storage precision (f32 rounding of refined vectors ≈ 6e-8, so
     # σ ≲ 1e3 injects ≤ 1e-4 — enlarged CG absorbs the few outliers).
+    # Default: refine only where it pays. σ form: refined pairs buy ~4 %
+    # (159 vs 166 iters, docs/PERFORMANCE.md round 3). deflate form: measured
+    # IDENTICAL without it (n=148k het, defl=256: 89 iters/1.31 s raw-device
+    # pairs vs 90/1.36 refined — round 4) because the coarse solve floors Λc
+    # eigenvalues and the BNN projection self-corrects pair noise; the ~110 s
+    # serial host cost (splu per interior at tunnel distance) was the single
+    # largest build stage, so it is OFF for correction="deflate".
     if host_refine is None:
         host_refine = (jnp.dtype(dtype) == jnp.float32
-                       and pencil == "agg" and plan.ng > 0)
+                       and pencil == "agg" and plan.ng > 0
+                       and correction == "sigma")
     if host_refine and pencil == "agg":
         # prefilter on device before the D2H pull (the tunnel runs at
         # 1-10 MB/s): only candidates with θ anywhere near the deflation
@@ -960,14 +985,17 @@ def build_scalable_lorasc(
             dev["sigma"] = jnp.asarray(
                 ((deflation_tol - lam_floor) / lam_floor).astype(dtype))
             deflated = int(kk)
+        _mark("host_refine")
 
     if correction == "deflate":
         _attach_deflation_lift(plan, dev, dtype,
                                lam_floor=deflation_tol * float(floor_frac))
+        _mark("lift")
     elif correction != "sigma":
         raise ValueError(f"unknown correction {correction!r} (sigma | deflate)")
 
-    return ScalableLorasc(plan=plan, operands=dev, deflated=deflated)
+    return ScalableLorasc(plan=plan, operands=dev, deflated=deflated,
+                          timings=timings)
 
 
 def _attach_deflation_lift(plan: ArrowBandPlan, dev: dict, dtype,

@@ -99,6 +99,10 @@ class ECGOptions:
         if self.stacked and self.variant == "odir":
             raise ValueError(
                 "stacked fast paths exist for omin and odir_fused only")
+        if self.stacked and self.layout != "tbn":
+            # nt panels are (m, t): the stacked reshape would treat node
+            # rows as direction slots and silently compute garbage
+            raise ValueError("stacked=True requires layout='tbn'")
 
 
 class ECGResult(NamedTuple):
