@@ -83,6 +83,12 @@ def _common_parser(desc):
                    choices=["omin", "odir", "odir_fused"])
     p.add_argument("-r", "--adaptive", action="store_true",
                    help="dynamic search-direction reduction (ADAPT_BS)")
+    p.add_argument("--adaptive-mode", default="truncate",
+                   choices=["truncate", "freeze"], dest="adaptive_mode",
+                   help="truncate = the reference's -r 1 semantics "
+                        "(ecg.c:485-496); freeze = keep dropped directions "
+                        "as a frozen basis (converges where the reference "
+                        "heuristic stalls)")
     p.add_argument("-t", "--tol", type=float, default=1e-5)
     p.add_argument("-i", "--maxiter", type=int, default=10000)
     p.add_argument("--nshards", type=int, default=1)
@@ -161,6 +167,7 @@ def ecg_main(argv=None):
     b = _load_rhs(args, a.shape[0])
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
                       variant=args.ortho_alg, adaptive=args.adaptive,
+                      adaptive_mode=args.adaptive_mode,
                       layout=_resolve_layout(args))
     kwargs = {}
     if args.precond == "bj2l":
@@ -219,7 +226,8 @@ def lorasc_main(argv=None):
     a = _load_matrix(args)
     b = _load_rhs(args, a.shape[0])
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
-                      variant=args.ortho_alg, adaptive=args.adaptive)
+                      variant=args.ortho_alg, adaptive=args.adaptive,
+                      adaptive_mode=args.adaptive_mode)
     if args.precond == "lorasc" and args.scalable:
         from dataclasses import replace as _dc_replace
 

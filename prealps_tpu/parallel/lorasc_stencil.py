@@ -62,6 +62,7 @@ class StencilLorascECG:
         correction: str = "sigma",  # "sigma" (reference E σ Eᵀ form) or
                                # "deflate" (balancing/BNN projection —
                                # f32-robust, see lorasc_scale.lorasc_apply)
+        restarts: int = 5,     # thick-restart Lanczos cycles − 1
     ) -> "StencilLorascECG":
         # true-f32 MXU passes (bf16 default silently breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -94,6 +95,7 @@ class StencilLorascECG:
             deflation_tol=deflation_tol, max_deflation=max_deflation,
             ncv=ncv, dtype=dtype, shift=shift, a_stencil=a_t,
             pencil=pencil, host_refine=host_refine, correction=correction,
+            restarts=restarts,
         )
 
         n = a.shape[0]

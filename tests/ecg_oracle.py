@@ -67,25 +67,39 @@ def ecg_oracle(
     variant: str = "odir",
     m_apply=None,
     split=None,
+    adaptive: bool = False,
 ):
     """Run the reference ECG algorithm in float64 numpy.
 
-    Returns dict(x, iters, res, normb, history).
+    adaptive=True restates the reference's ADAPT_BS dynamic search-direction
+    reduction for odir (-r 1; reference ecg.c:444-497): an SVD rank test on
+    alpha against tol·‖b‖/√nrhs, then rotation of the direction block onto
+    the significant left-singular directions and truncation t → t1 (the
+    reference realises the rotation as geqrf/ormqr of the 'O'-overwritten U;
+    the span — and therefore the iteration algebra — is identical).
+
+    Returns dict(x, iters, res, normb, history, bs_history).
     """
     a = sp.csr_matrix(a).astype(np.float64)
     n = a.shape[0]
     if m_apply is None:
         m_apply = lambda v: v
+    if adaptive and variant != "odir":
+        raise ValueError("ADAPT_BS oracle covers the odir branch "
+                         "(reference ecg.c:190 allows ORTHODIR/_FUSED only)")
     normb = float(np.linalg.norm(b))
+    nrhs = t
+    red_tol = tol * normb / np.sqrt(nrhs)
 
     r = contiguous_split(b, t) if split is None else split(b, t)
     p = m_apply(r)
     ap = a @ p
     x = np.zeros((n, t))
-    p_prev = np.zeros((n, t))
-    ap_prev = np.zeros((n, t))
+    p_prev = np.zeros((n, 0))
+    ap_prev = np.zeros((n, 0))
 
     history = []
+    bs_history = []
     it = 0
     while True:
         # --- rci 0: A-CholQR + alpha + X,R update (ecg.c:309-339/425-505) ---
@@ -97,6 +111,24 @@ def ecg_oracle(
         p = np.linalg.solve(u.T, p.T).T       # P U⁻¹ (right upper solve)
         ap = np.linalg.solve(u.T, ap.T).T
         alpha = p.T @ r
+        if adaptive:
+            # SVD rank test (ecg.c:445-466): keep the leading singular
+            # directions with sigma > tol·normb/sqrt(nrhs)
+            u_svd, sig, _ = np.linalg.svd(alpha)   # u_svd: (bs, bs)
+            t1 = 0
+            for sv in sig:
+                if sv > red_tol:
+                    t1 += 1
+                else:
+                    break
+            bs = alpha.shape[0]
+            if 0 < t1 < nrhs and t1 < bs:
+                # rotate onto the leading directions and truncate
+                # (ecg.c:468-497 geqrf/ormqr realisation of the same span)
+                alpha = (u_svd.T @ alpha)[:t1]
+                p = (p @ u_svd)[:, :t1]
+                ap = (ap @ u_svd)[:, :t1]
+        bs_history.append(p.shape[1])
         x = x + p @ alpha
         r = r - ap @ alpha
         it += 1
@@ -129,4 +161,5 @@ def ecg_oracle(
         "res": res,
         "normb": normb,
         "history": np.asarray(history),
+        "bs_history": np.asarray(bs_history),
     }

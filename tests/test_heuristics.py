@@ -50,7 +50,10 @@ class TestAdaptiveReduction:
         assert not bool(res.breakdown)
         assert int(res.bs) < 4, "reduction should fire near convergence"
         assert float(res.res) <= 5e-4 * float(res.normb)
-        assert int(res.iters) < 500, "stall guard must stop the plateau"
+        # truncation-style reduction (round-4 reference-parity fix) reaches
+        # the plateau a little later than the old frozen-basis form did;
+        # the guard still must cut WELL below maxiter=2000
+        assert int(res.iters) < 800, "stall guard must stop the plateau"
 
     def test_disjoint_support_split_omin_adaptive(self):
         """Disjoint-support split columns on a 1-D Laplacian: the numpy
