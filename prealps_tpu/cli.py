@@ -107,6 +107,14 @@ def _common_parser(desc):
                    "line, '%%' comments; reference: operator.c:136 RHSBuild "
                    "loads rhs files) — default: random with --seed")
     p.add_argument("--save-sol", help="write the solution vector to this file")
+    p.add_argument("--partition-file", dest="partition_file",
+                   help="pinned row partition (one part id per row, '%%' "
+                        "comments; -1 marks separator rows for LORASC) — "
+                        "the reference's custom-partitioning-file workflow "
+                        "(preAlps_utils.c:168-193)")
+    p.add_argument("--save-partition", dest="save_partition",
+                   help="write the partition actually used to this file "
+                        "(reloadable via --partition-file)")
     p.add_argument("--json", action="store_true", help="machine-readable output")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="print the residual history (iteration monitor)")
@@ -176,11 +184,22 @@ def ecg_main(argv=None):
                              "elasticity grid (--generate ela --size ...)")
         nx, ny, nz = (int(v) for v in args.size.split("x"))
         kwargs["grid"] = (nx + 1, ny + 1, nz)   # node dims (generators.py)
+    parts = None
+    if args.partition_file:
+        from prealps_tpu.core.io import load_partition
+
+        parts = load_partition(args.partition_file, a.shape[0])
     solver = DistributedECG.build(
         a, nshards=args.nshards, opts=opts, precond=args.precond,
         nblocks_per_shard=args.nblocks_per_shard, dtype=_dtype_of(args),
-        fmt=args.fmt, **kwargs,
+        fmt=args.fmt, parts=parts, **kwargs,
     )
+    if args.save_partition:
+        from prealps_tpu.core.io import save_partition
+
+        lay = solver.layout
+        save_partition(args.save_partition,
+                       lay.inv_perm // lay.rows_per_shard)
     t0 = time.time()
     x, info = solver.solve(b)
     return _report(args, a, b, x, info, time.time() - t0)
@@ -204,7 +223,7 @@ def lorasc_main(argv=None):
                    help="at-scale banded LORASC for stencil operators "
                    "(block-banded interiors + thick-restart Lanczos "
                    "deflation; precond/lorasc_scale.py — the benchmark path)")
-    p.add_argument("--pencil", default="agg", choices=["agg", "sloc"],
+    p.add_argument("--pencil", default="agg", choices=["agg", "sloc", "saloc"],
                    help="deflation pencil for --scalable: agg = LORASC "
                    "(S u = λ Agg u, lorasc_eigsolve.c), sloc = PRESC SSLOC "
                    "(S u = λ Sloc u with exact local Schur complements, "
@@ -228,6 +247,23 @@ def lorasc_main(argv=None):
     opts = ECGOptions(t=args.t, tol=args.tol, maxiter=args.maxiter,
                       variant=args.ortho_alg, adaptive=args.adaptive,
                       adaptive_mode=args.adaptive_mode)
+    node_part = None
+    if args.partition_file:
+        if not (args.precond == "lorasc" and args.scalable):
+            raise SystemExit("error: --partition-file is supported on the "
+                             "--scalable LORASC path (and prealps-ecg)")
+        from prealps_tpu.core.io import load_partition
+
+        rowpart = load_partition(args.partition_file, a.shape[0])
+        br = 3
+        if a.shape[0] % br:
+            raise SystemExit("error: matrix size is not divisible by the "
+                             "3-dof node block")
+        rp = rowpart.reshape(-1, br)
+        if not np.all(rp == rp[:, :1]):
+            raise SystemExit("error: partition must be constant within "
+                             "each 3-dof node block")
+        node_part = rp[:, 0]
     if args.precond == "lorasc" and args.scalable:
         from dataclasses import replace as _dc_replace
 
@@ -238,7 +274,13 @@ def lorasc_main(argv=None):
             deflation_tol=args.deflation_tol,
             max_deflation=args.max_deflation, dtype=_dtype_of(args),
             pencil=args.pencil, correction=args.correction,
+            node_part=node_part,
         )
+        if args.save_partition:
+            from prealps_tpu.core.io import save_partition
+
+            save_partition(args.save_partition,
+                           np.repeat(solver.precond.plan.part_arr, 3))
     elif args.precond == "lorasc" and (args.nshards > 1 or args.np_level1):
         from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
 

@@ -41,3 +41,27 @@ def load_vector(path: str, dtype=np.float64) -> np.ndarray:
 
 def save_vector(path: str, v: np.ndarray) -> None:
     np.savetxt(path, np.asarray(v).ravel())
+
+
+def load_partition(path: str, n: int | None = None) -> np.ndarray:
+    """Load a row-partition vector: one integer per row (part id; -1 marks
+    separator rows for block-arrow preconditioners). Plain text with '%'
+    comments — the reference's custom-partitioning-file workflow
+    (reference: utils/preAlps_utils.c:168-193, -DMAT_CUSTOM_PARTITIONING_FILE).
+    """
+    part = np.loadtxt(path, dtype=np.int64, comments="%").ravel()
+    if n is not None and part.shape[0] != n:
+        raise ValueError(
+            f"partition file has {part.shape[0]} entries, matrix has {n} rows"
+        )
+    return part
+
+
+def save_partition(path: str, part: np.ndarray) -> None:
+    """Write a row-partition vector (one part id per line, '%' header)."""
+    part = np.asarray(part, dtype=np.int64).ravel()
+    with open(path, "w") as f:
+        f.write(f"% prealps_tpu partition: {part.shape[0]} rows, "
+                f"{int(part.max()) + 1} parts"
+                f"{', separator rows marked -1' if (part < 0).any() else ''}\n")
+        np.savetxt(f, part, fmt="%d")

@@ -355,6 +355,7 @@ def detect_format(
     nshards: int = 1,
     dia_min_cov: float = 0.85,
     bell_min_fill: float = 0.10,
+    allow_stencil: bool = True,
 ) -> tuple[str, dict]:
     """Pick the fastest storage format for `a` on TPU (the product path for
     the reference's "any CSR at memory speed" role, mkl_dcsrmm,
@@ -383,7 +384,7 @@ def detect_format(
     info: dict = {}
 
     # 1. stencil: few unique node offsets + dense-enough blocks
-    if n == m and n % br == 0:
+    if allow_stencil and n == m and n % br == 0:
         coo = a.tocoo()
         delta = coo.col.astype(np.int64) // br - coo.row.astype(np.int64) // br
         offs = np.unique(delta)

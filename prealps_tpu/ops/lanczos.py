@@ -189,6 +189,162 @@ def lanczos_thick_restart(
     )
 
 
+def block_lanczos_thick_restart(
+    op_apply_panel: Callable[[jax.Array], jax.Array],  # (n,bt) -> B⁻¹S panel
+    b_apply_panel: Callable[[jax.Array], jax.Array],   # (n,bt) -> B panel
+    n: int,
+    nblocks: int,
+    nev: int,
+    bt: int = 8,
+    restarts: int = 4,
+    dtype=jnp.float64,
+    v0: jax.Array | None = None,
+) -> LanczosResult:
+    """BLOCK thick-restart Lanczos in the B-inner product.
+
+    Mathematically the same Wu–Simon thick-restart iteration as
+    `lanczos_thick_restart`, with vectors replaced by bt-wide panels. The
+    motive is the TPU dispatch economics of the LORASC deflation build
+    (docs/PERFORMANCE.md round 4): the scalar iteration is ~3000 SEQUENTIAL
+    t=1 operator applies at ~7.5 ms each (dispatch-bound — basis-size cuts
+    don't help), while every operand (stencil SpMM, banded solves) is
+    panel-capable, so bt vectors per step cost barely more than one. Block
+    Lanczos also converges clustered spectra better — exactly the shape of
+    the near-null deflation window. (PARPACK role: eigsolver.c:225-231.)
+
+    Basis = nblocks panels (+1 working panel); every step B-orthonormalises
+    the new panel by Cholesky-QR of its B-Gram (rank loss handled by a
+    trace-scaled ridge; the downstream rayleigh_ritz_refine whitening drops
+    any junk directions). Thick restart keeps a block-aligned number of
+    Ritz vectors plus the residual panel.
+    """
+    m = nblocks
+    dim = m * bt
+    if v0 is None:
+        v0 = jnp.full((n,), 1e-2, dtype=dtype)
+    v0 = v0.astype(dtype)
+    if v0.ndim == 1:
+        # deterministic FULL-RANK start panel from the seed vector: columns
+        # modulated by low-order Chebyshev-like waves (a rank-1 panel would
+        # make the Cholesky-QR ridge manufacture junk near-zero directions
+        # that crowd the smallest Ritz values)
+        i = jnp.arange(n, dtype=dtype)
+        waves = jnp.cos(
+            jnp.pi * (i[:, None] + 0.5) * (jnp.arange(bt, dtype=dtype)[None]
+                                           + 1.0) / n)
+        v0 = v0[:, None] * (1.0 + 0.5 * waves)
+    # keep ~nev + third of the slack, rounded to whole blocks, ≤ m-2 blocks
+    nkeep_b = min(max((nev + (dim - nev) // 3 + bt - 1) // bt, 1), m - 2)
+    kdim = nkeep_b * bt
+
+    eps = float(jnp.finfo(dtype).eps)
+
+    def b_qr(w):
+        """B-orthonormalise a panel: w = q r with qᵀBq = I, r (bt, bt).
+
+        Cholesky-QR loses orthogonality at κ(w)² — in f32 on high-contrast
+        pencils the raw panel Gram overflows that budget immediately. Column
+        B-equilibration + CholQR2 (two rounds) is the standard repair; a
+        degenerate block (invariant subspace hit) zeroes out, and the
+        downstream rayleigh_ritz_refine whitening drops the dead directions.
+        """
+        d2 = jnp.einsum("ni,ni->i", w, b_apply_panel(w), precision=HIGHEST)
+        d = jnp.sqrt(jnp.maximum(d2, 1e-30))
+        w = w / d[None, :]
+        r_acc = jnp.diag(d.astype(dtype))
+
+        def one(w, r_acc):
+            g = jnp.einsum("ni,nj->ij", w, b_apply_panel(w),
+                           precision=HIGHEST)
+            g = 0.5 * (g + g.T)
+            # ridge-free primary factorization (a standing ridge compounds
+            # across blocks × cycles into an accuracy CEILING — measured
+            # ~1e-3 pair residuals at 50·eps); ridge only as the
+            # rank-deficiency fallback
+            l0 = jnp.linalg.cholesky(g)
+            ridge = jnp.maximum(jnp.trace(g), 1e-30) * (50.0 * eps)
+            l1 = jnp.linalg.cholesky(g + ridge * jnp.eye(bt, dtype=dtype))
+            l = jnp.where(jnp.any(jnp.isnan(l0)), l1, l0)
+            bad = jnp.any(jnp.isnan(l))
+            l = jnp.where(bad, jnp.eye(bt, dtype=dtype), l)
+            q = jax.lax.linalg.triangular_solve(
+                l, w, left_side=False, lower=True, transpose_a=True)
+            q = jnp.where(bad, jnp.zeros_like(q), q)
+            r_acc = jnp.where(bad, jnp.zeros_like(r_acc), l.T @ r_acc)
+            return q, r_acc
+
+        w, r_acc = one(w, r_acc)
+        w, r_acc = one(w, r_acc)
+        return w, r_acc
+
+    v0q, _ = b_qr(v0)
+    v_basis = jnp.zeros((n, (m + 1) * bt), dtype)
+    v_basis = jax.lax.dynamic_update_slice(v_basis, v0q, (0, 0))
+    h = jnp.zeros(((m + 1) * bt, dim), dtype)
+
+    def extend(j, carry):
+        """One block-extension step writing column-block j of h."""
+        v_basis, h = carry
+        zero = jnp.int32(0)
+        jb = jnp.asarray(j * bt, jnp.int32)
+        vj = jax.lax.dynamic_slice(v_basis, (zero, jb), (n, bt))
+        w = op_apply_panel(vj)
+        bw = b_apply_panel(w)
+        mask = (jnp.arange((m + 1) * bt) < (j + 1) * bt).astype(dtype)
+        proj = jnp.einsum("nk,ni->ki", v_basis, bw,
+                          precision=HIGHEST) * mask[:, None]
+        w = w - jnp.einsum("nk,ki->ni", v_basis, proj, precision=HIGHEST)
+        bw2 = b_apply_panel(w)
+        proj2 = jnp.einsum("nk,ni->ki", v_basis, bw2,
+                           precision=HIGHEST) * mask[:, None]
+        w = w - jnp.einsum("nk,ki->ni", v_basis, proj2, precision=HIGHEST)
+        q, r = b_qr(w)
+        v_basis = jax.lax.dynamic_update_slice(v_basis, q,
+                                               (zero, jb + bt))
+        hcol = jax.lax.dynamic_update_slice(
+            proj + proj2, r, (jb + bt, zero))
+        h = jax.lax.dynamic_update_slice(h, hcol, (zero, jb))
+        return v_basis, h
+
+    def rayleigh_ritz(h):
+        hs = 0.5 * (h[:dim, :] + h[:dim, :].T)
+        return jnp.linalg.eigh(hs)
+
+    def cycle(c, carry):
+        v_basis, h, jstart = carry
+        v_basis, h = jax.lax.fori_loop(jstart, m, extend, (v_basis, h))
+        theta, y = rayleigh_ritz(h)
+        # residual couplings: R_m · y[last block rows] (bt × dim)
+        s = jnp.einsum("ij,jk->ik", h[dim:, dim - bt:], y[dim - bt:, :],
+                       precision=HIGHEST)
+        v_keep = jnp.einsum("nk,km->nm", v_basis[:, :dim], y[:, :kdim],
+                            precision=HIGHEST)
+        v_res = v_basis[:, dim:]
+        v_new = jnp.zeros_like(v_basis)
+        v_new = jax.lax.dynamic_update_slice(v_new, v_keep, (0, 0))
+        v_new = jax.lax.dynamic_update_slice(v_new, v_res, (0, kdim))
+        h_new = (
+            jnp.zeros_like(h)
+            .at[jnp.arange(kdim), jnp.arange(kdim)].set(theta[:kdim])
+        )
+        h_new = jax.lax.dynamic_update_slice(h_new, s[:, :kdim], (kdim, 0))
+        return v_new, h_new, jnp.int32(nkeep_b)
+
+    v_basis, h, jstart = jax.lax.fori_loop(
+        0, restarts, cycle, (v_basis, h, jnp.int32(0))
+    )
+    v_basis, h = jax.lax.fori_loop(jstart, m, extend, (v_basis, h))
+    theta, y = rayleigh_ritz(h)
+    vecs = jnp.einsum("nk,km->nm", v_basis[:, :dim], y, precision=HIGHEST)
+    s = jnp.einsum("ij,jk->ik", h[dim:, dim - bt:], y[dim - bt:, :],
+                   precision=HIGHEST)
+    resid = jnp.sqrt(jnp.einsum("ik,ik->k", s, s, precision=HIGHEST))
+    return LanczosResult(
+        eigvalues=theta, eigvectors=vecs, resid=resid,
+        niter=jnp.int32((restarts + 1) * m * bt),
+    )
+
+
 def rayleigh_ritz_refine(vecs, sv, bv, drop_tol: float = 1e-3):
     """Subspace Rayleigh-Ritz refinement of candidate Ritz pairs for the
     pencil (S, B), given the candidate panel and its S·V / B·V products.
@@ -204,6 +360,13 @@ def rayleigh_ritz_refine(vecs, sv, bv, drop_tol: float = 1e-3):
     bp = jnp.einsum("gi,gj->ij", vecs, bv, precision=HIGHEST)
     hp = 0.5 * (hp + hp.T)
     bp = 0.5 * (bp + bp.T)
+    # column B-equilibration: candidates of wildly different B-norms (e.g.
+    # residual-augmented panels, where OP·v scales as 1/θ) would otherwise
+    # put a ~1/θ² dynamic range into bp and the f32 whitening eigh drowns
+    # the small directions (eps·range ≫ 1)
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(bp)), 1e-30))
+    hp = hp / d[:, None] / d[None, :]
+    bp = bp / d[:, None] / d[None, :]
     dmu, u = jnp.linalg.eigh(bp)
     keep = dmu > drop_tol
     dsafe = jnp.where(keep, dmu, 1.0)
@@ -213,7 +376,7 @@ def rayleigh_ritz_refine(vecs, sv, bv, drop_tol: float = 1e-3):
     big = jnp.asarray(1e6, sw.dtype)
     sw = sw + jnp.diag(jnp.where(keep, 0.0, big))
     theta, z = jnp.linalg.eigh(sw)
-    wz = w @ z
+    wz = (w @ z) / d[:, None]   # fold the equilibration back in
     vecs_r = jnp.einsum("gk,km->gm", vecs, wz, precision=HIGHEST)
     svr = jnp.einsum("gk,km->gm", sv, wz, precision=HIGHEST)
     bvr = jnp.einsum("gk,km->gm", bv, wz, precision=HIGHEST)

@@ -115,6 +115,12 @@ class DistributedECG:
         bj_dtype: str = "f32",       # "bf16": halve device-BJ inverse bytes
         grid: Optional[tuple] = None,  # (nx, ny, nz) node dims of a stencil grid
         bj_dedupe: bool = True,      # dedupe repeated diagonal blocks (see below)
+        parts: Optional[np.ndarray] = None,  # pinned row partition (one part
+                                     # id per row — the reference's custom-
+                                     # partitioning-file workflow,
+                                     # preAlps_utils.c:168-193); not for
+                                     # fmt="stencil" (a row permutation
+                                     # destroys the constant-offset structure)
     ) -> "DistributedECG":
         # f32 solves need true-f32 MXU passes: default (bf16) matmul
         # precision inside the small factorizations silently breaks CG
@@ -136,11 +142,19 @@ class DistributedECG:
             from prealps_tpu.ops.formats import detect_format
 
             nsh_hint = nshards if nshards else len(jax.devices())
-            fmt, fmt_info = detect_format(a, br=br, nshards=nsh_hint)
+            # a pinned row partition permutes rows, which destroys constant
+            # stencil offsets — restrict detection to the general formats
+            fmt, fmt_info = detect_format(a, br=br, nshards=nsh_hint,
+                                          allow_stencil=parts is None)
             # the measured-best general path is the XLA gather block-ELL at
             # 8×8 (examples/bench_spmm_general.py; the Pallas streaming
             # kernel is tuned for bk=128 halo blocks)
-            if fmt == "block_ell_morton":
+            if fmt == "block_ell_morton" and parts is not None:
+                # a pinned partition fixes the row order — keep it
+                fmt_info.pop("perm", None)
+                fmt = "block_ell_xla"
+                bell_bk = 8 if nsh_hint <= 1 else None
+            elif fmt == "block_ell_morton":
                 pre_perm = fmt_info.pop("perm")
                 a = a[pre_perm][:, pre_perm].tocsr()
                 fmt = "block_ell_xla"
@@ -215,6 +229,36 @@ class DistributedECG:
                 if cands:
                     mbn = min(cands, key=lambda c: abs(c - target))
                     bj_slab_dedupe = True
+        if parts is not None:
+            if fmt == "stencil":
+                raise ValueError(
+                    "parts= (pinned partition) cannot be combined with "
+                    "fmt='stencil': the row permutation destroys the "
+                    "constant-offset structure — use fmt='auto'/'ell'")
+            if layout is not None:
+                raise ValueError("pass either parts= or layout=, not both")
+            if pre_perm is not None:
+                raise ValueError(
+                    "fmt='auto' chose a clustering permutation; pinned "
+                    "partitions require fmt='ell'/'dia'/'block_ell'")
+            import math
+
+            parts = np.asarray(parts, dtype=np.int64).ravel()
+            if parts.shape[0] != a.shape[0]:
+                raise ValueError(
+                    f"partition has {parts.shape[0]} entries for a "
+                    f"{a.shape[0]}-row matrix")
+            if parts.min() < 0 or parts.max() >= nshards:
+                raise ValueError(
+                    f"part ids must lie in [0, {nshards}); got "
+                    f"[{parts.min()}, {parts.max()}]")
+            from prealps_tpu.core.layout import layout_from_part
+
+            bell_mult = 128 if fmt in ("block_ell", "block_ell_xla") else 8
+            if mbn is not None:
+                bell_mult = math.lcm(bell_mult, mbn * br)
+            layout = layout_from_part(a, parts, nshards,
+                                      row_multiple=bell_mult)
         if layout is None:
             if fmt == "stencil":
                 import math

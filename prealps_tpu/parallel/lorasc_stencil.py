@@ -63,6 +63,9 @@ class StencilLorascECG:
                                # "deflate" (balancing/BNN projection —
                                # f32-robust, see lorasc_scale.lorasc_apply)
         restarts: int = 5,     # thick-restart Lanczos cycles − 1
+        node_part=None,        # pinned node partition (part id per node,
+                               # -1 = separator; preAlps_utils.c:168-193)
+        in_sep=None,
     ) -> "StencilLorascECG":
         # true-f32 MXU passes (bf16 default silently breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -95,7 +98,7 @@ class StencilLorascECG:
             deflation_tol=deflation_tol, max_deflation=max_deflation,
             ncv=ncv, dtype=dtype, shift=shift, a_stencil=a_t,
             pencil=pencil, host_refine=host_refine, correction=correction,
-            restarts=restarts,
+            restarts=restarts, node_part=node_part, in_sep=in_sep,
         )
 
         n = a.shape[0]

