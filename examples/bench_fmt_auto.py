@@ -166,7 +166,7 @@ def main():
 
         # --- the auto choice ---
         chosen, info = detect_format(a, br=3)
-        key = {"stencil": "stencil", "dia": "dia",
+        key = {"stencil": "stencil", "dia": "dia", "dia_rcm": "dia",
                "block_ell_morton": "block_ell_morton",
                "block_ell_natural": "block_ell_morton",
                "ell": "ell"}[chosen]

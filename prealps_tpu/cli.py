@@ -192,14 +192,21 @@ def ecg_main(argv=None):
     solver = DistributedECG.build(
         a, nshards=args.nshards, opts=opts, precond=args.precond,
         nblocks_per_shard=args.nblocks_per_shard, dtype=_dtype_of(args),
-        fmt=args.fmt, parts=parts, **kwargs,
+        fmt=args.fmt, parts=parts, auto_layout=args.layout is None,
+        **kwargs,
     )
     if args.save_partition:
         from prealps_tpu.core.io import save_partition
 
         lay = solver.layout
-        save_partition(args.save_partition,
-                       lay.inv_perm // lay.rows_per_shard)
+        part = lay.inv_perm // lay.rows_per_shard
+        if solver.pre_perm is not None:
+            # fmt=auto applied a clustering permutation; map the partition
+            # back to ORIGINAL row order so the file is reloadable
+            part_orig = np.empty_like(part)
+            part_orig[solver.pre_perm] = part
+            part = part_orig
+        save_partition(args.save_partition, part)
     t0 = time.time()
     x, info = solver.solve(b)
     return _report(args, a, b, x, info, time.time() - t0)
@@ -248,10 +255,12 @@ def lorasc_main(argv=None):
                       variant=args.ortho_alg, adaptive=args.adaptive,
                       adaptive_mode=args.adaptive_mode)
     node_part = None
+    if ((args.partition_file or args.save_partition)
+            and not (args.precond == "lorasc" and args.scalable)):
+        raise SystemExit("error: --partition-file/--save-partition are "
+                         "supported on the --scalable LORASC path "
+                         "(and prealps-ecg)")
     if args.partition_file:
-        if not (args.precond == "lorasc" and args.scalable):
-            raise SystemExit("error: --partition-file is supported on the "
-                             "--scalable LORASC path (and prealps-ecg)")
         from prealps_tpu.core.io import load_partition
 
         rowpart = load_partition(args.partition_file, a.shape[0])

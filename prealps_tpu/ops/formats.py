@@ -354,8 +354,9 @@ def detect_format(
     br: int = 3,
     nshards: int = 1,
     dia_min_cov: float = 0.85,
-    bell_min_fill: float = 0.10,
+    bell_min_fill: float = 0.06,
     allow_stencil: bool = True,
+    allow_reorder: bool = True,
 ) -> tuple[str, dict]:
     """Pick the fastest storage format for `a` on TPU (the product path for
     the reference's "any CSR at memory speed" role, mkl_dcsrmm,
@@ -375,56 +376,72 @@ def detect_format(
          1/fill MXU-compute inflation; below fill≈0.10 it stops paying;
       4. ELL          (gather-bound floor): anything else.
 
-    Returns (fmt, info): fmt in {"stencil", "dia", "block_ell_morton",
-    "ell"}; info carries the scores and, for block_ell_morton, the
-    permutation under info["perm"].
+    allow_reorder=False disables the choices that require a row
+    permutation (Morton clustering, RCM-recovered DIA) — e.g. when the
+    caller pins the row partition.
+
+    Returns (fmt, info): fmt in {"stencil", "dia", "dia_rcm",
+    "block_ell_morton", "block_ell_natural", "ell"}; info carries the
+    scores and, for the reordering choices, the permutation under
+    info["perm"].
     """
     a = sp.csr_matrix(a)
     n, m = a.shape
     info: dict = {}
 
-    # 1. stencil: few unique node offsets + dense-enough blocks
+    # 1. stencil candidate: few unique node offsets + dense-enough blocks
+    st_fill = 0.0
+    stencil_ok = False
     if allow_stencil and n == m and n % br == 0:
         coo = a.tocoo()
         delta = coo.col.astype(np.int64) // br - coo.row.astype(np.int64) // br
         offs = np.unique(delta)
         info["stencil_offsets"] = int(offs.size)
         if offs.size <= 64:
-            fill = a.nnz / ((n // br) * offs.size * br * br)
-            info["stencil_fill"] = round(float(fill), 3)
-            if fill >= 0.1:
-                return "stencil", info
+            st_fill = a.nnz / ((n // br) * offs.size * br * br)
+            info["stencil_fill"] = round(float(st_fill), 3)
+            stencil_ok = st_fill >= 0.1
 
-    # 2. diagonal coverage (caller order, then RCM — csr_to_dia_ell_auto
-    # re-derives the same choice at build time)
+    # 2. diagonal coverage in caller order
     cov = dia_coverage(a, min_fill=0.05)
     info["dia_coverage"] = round(float(cov), 3)
-    if cov < dia_min_cov and n == m:
+
+    # stencil-vs-dia arbitration: a SCALAR-banded matrix also passes the
+    # br-block stencil test but at ~1/br block fill — the br=1 DIA form
+    # moves 1/fill fewer bytes (measured 2.6× on the 17-diagonal class)
+    if stencil_ok and not (cov >= 0.9 and st_fill < 0.5):
+        return "stencil", info
+    if cov >= dia_min_cov:
+        return "dia", info
+    if n == m and allow_reorder:
         from prealps_tpu.core.partition import rcm_order
 
         perm_r = rcm_order(a)
         cov_r = dia_coverage(a[perm_r][:, perm_r].tocsr(), min_fill=0.05)
         info["dia_coverage_rcm"] = round(float(cov_r), 3)
-        cov = max(cov, cov_r)
-    if cov >= dia_min_cov:
-        return "dia", info
+        if cov_r >= dia_min_cov:
+            info["perm"] = perm_r
+            return "dia_rcm", info
 
     # 3. Morton-clustered block-ELL vs plain ELL. Multi-shard block-ELL
-    # exchanges 128-wide column blocks, so score the fill at that width.
+    # exchanges 128-wide column blocks — the fill threshold is unreachable
+    # there, so skip the (5-BFS-sweep) Morton probe entirely.
     bk = 8 if nshards <= 1 else 128
     fill_nat = block_fill(a, 8, bk)
     info["bell_fill_natural"] = round(fill_nat, 3)
-    if n == m:
+    if n == m and nshards <= 1 and allow_reorder:
         from prealps_tpu.core.partition import morton_perm, pseudo_coords
 
         perm = morton_perm(pseudo_coords(a))
         ap = a[perm][:, perm].tocsr()
         fill_m = block_fill(ap, 8, bk)
         info["bell_fill_morton"] = round(fill_m, 3)
-        if fill_m >= bell_min_fill and fill_m > 1.1 * fill_nat:
+        # measured: Morton block-ELL beats ELL 1.56× at fill 0.084 and
+        # 1.9× at ~0.15; below ~0.06 the 1/fill compute inflation wins
+        if fill_m >= bell_min_fill and fill_m > 1.3 * fill_nat:
             info["perm"] = perm
             return "block_ell_morton", info
-    if fill_nat >= bell_min_fill:
+    if fill_nat >= max(bell_min_fill, 0.1):
         return "block_ell_natural", info
 
     # 4. gather-bound floor

@@ -220,6 +220,11 @@ def block_lanczos_thick_restart(
     """
     m = nblocks
     dim = m * bt
+    if m < 3:
+        # nkeep_b = min(..., m-2) degenerates below 3 blocks (verified:
+        # m=1/2 return unconverged or wrong pairs); callers fall back to
+        # the scalar iteration for tiny bases
+        raise ValueError(f"block thick-restart needs nblocks >= 3, got {m}")
     if v0 is None:
         v0 = jnp.full((n,), 1e-2, dtype=dtype)
     v0 = v0.astype(dtype)

@@ -121,6 +121,11 @@ class DistributedECG:
                                      # preAlps_utils.c:168-193); not for
                                      # fmt="stencil" (a row permutation
                                      # destroys the constant-offset structure)
+        auto_layout: bool = True,    # fmt="auto": True lets the driver pick
+                                     # the fast layout for the detected
+                                     # format; False honors opts.layout
+                                     # wherever it is valid (the CLI sets
+                                     # this from whether --layout was given)
     ) -> "DistributedECG":
         # f32 solves need true-f32 MXU passes: default (bf16) matmul
         # precision inside the small factorizations silently breaks CG
@@ -142,33 +147,36 @@ class DistributedECG:
             from prealps_tpu.ops.formats import detect_format
 
             nsh_hint = nshards if nshards else len(jax.devices())
-            # a pinned row partition permutes rows, which destroys constant
-            # stencil offsets — restrict detection to the general formats
+            # a pinned row partition fixes the row order — restrict
+            # detection to permutation-free general formats
             fmt, fmt_info = detect_format(a, br=br, nshards=nsh_hint,
-                                          allow_stencil=parts is None)
+                                          allow_stencil=parts is None,
+                                          allow_reorder=parts is None)
+            tag = fmt
+            if fmt in ("block_ell_morton", "dia_rcm"):
+                pre_perm = fmt_info.pop("perm")
+                a = a[pre_perm][:, pre_perm].tocsr()
             # the measured-best general path is the XLA gather block-ELL at
             # 8×8 (examples/bench_spmm_general.py; the Pallas streaming
             # kernel is tuned for bk=128 halo blocks)
-            if fmt == "block_ell_morton" and parts is not None:
-                # a pinned partition fixes the row order — keep it
-                fmt_info.pop("perm", None)
+            if fmt in ("block_ell_morton", "block_ell_natural"):
                 fmt = "block_ell_xla"
                 bell_bk = 8 if nsh_hint <= 1 else None
-            elif fmt == "block_ell_morton":
-                pre_perm = fmt_info.pop("perm")
-                a = a[pre_perm][:, pre_perm].tocsr()
-                fmt = "block_ell_xla"
-                bell_bk = 8 if nsh_hint <= 1 else None
-            elif fmt == "block_ell_natural":
-                fmt = "block_ell_xla"
-                bell_bk = 8 if nsh_hint <= 1 else None
-            want = ("tbn" if fmt in ("stencil", "dia")
-                    and jax.default_backend() == "tpu" else "nt")
+            elif fmt == "dia_rcm":
+                fmt = "dia"
+            # layout policy: honor the caller's layout when it is VALID for
+            # the detected format (auto_layout=False means the caller chose
+            # explicitly); otherwise pick the fast valid one
+            want = opts.layout
+            if auto_layout:
+                want = ("tbn" if fmt in ("stencil", "dia")
+                        and jax.default_backend() == "tpu" else "nt")
+            elif opts.layout == "tbn" and fmt not in ("stencil", "dia"):
+                want = "nt"   # tbn is undefined for gather formats
             if opts.layout != want:
                 opts = _dc_replace(opts, layout=want)
-            fmt_info["chosen"] = fmt + (":morton" if pre_perm is not None
-                                        else "")
-            print(f"[prealps fmt=auto] chose {fmt_info['chosen']} "
+            fmt_info["chosen"] = tag
+            print(f"[prealps fmt=auto] chose {tag} "
                   f"(layout={want}) scores={fmt_info}", file=sys.stderr)
 
         dtype = np.dtype(dtype) if dtype is not None else a.dtype

@@ -319,13 +319,17 @@ class DistributedLorascECG:
                 rows_l.append(np.repeat(bset, bset.size))
                 cols_l.append(np.tile(bset, bset.size))
                 vals_l.append(patch.ravel())
-            corr = sp.coo_matrix(
-                (np.concatenate(vals_l),
-                 (np.concatenate(rows_l), np.concatenate(cols_l))),
-                shape=(ng_tot, ng_tot),
-            ).tocsr()
-            sep_op = (agg.tocsr() - corr).tocsr()
-            sep_op.eliminate_zeros()
+            if rows_l:
+                corr = sp.coo_matrix(
+                    (np.concatenate(vals_l),
+                     (np.concatenate(rows_l), np.concatenate(cols_l))),
+                    shape=(ng_tot, ng_tot),
+                ).tocsr()
+                sep_op = (agg.tocsr() - corr).tocsr()
+                sep_op.eliminate_zeros()
+            else:
+                # no part couples to the separator: S = Agg exactly
+                sep_op = agg.tocsr()
         else:
             sep_op = agg.tocsr()
 

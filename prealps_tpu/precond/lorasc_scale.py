@@ -865,6 +865,12 @@ def build_scalable_lorasc(
         # near-null window the way the f64 study said it should);
         # PREALPS_LANCZOS_BLOCK=0 restores the scalar iteration
         lanczos_block = int(_os.environ.get("PREALPS_LANCZOS_BLOCK", "8"))
+    if lanczos_block > 1 and (restarts == 0
+                              or ncv_eff < 3 * lanczos_block):
+        # restarts=0 requests the documented single-pass lanczos_gen, and
+        # tiny bases (< 3 blocks) degenerate the block thick restart —
+        # both take the scalar path
+        lanczos_block = 0
     if lanczos_block > 1:
         # the block iteration gains bt-wide panels but loses polynomial
         # degree per cycle; ~2.4× the cycles restores the scalar yield

@@ -306,3 +306,48 @@ class TestCliPartitionFile:
         with pytest.raises((SystemExit, ValueError)):
             ecg_main(["--size", "6x5x5", "--fmt", "ell", "--nshards", "2",
                       "--partition-file", str(part_path)])
+
+    def test_save_partition_under_morton_auto(self, tmp_path, capsys):
+        """fmt=auto with a Morton clustering permutation: the saved
+        partition must be in ORIGINAL row order (round-4 review fix) so the
+        file is reloadable."""
+        import json
+
+        import numpy as np
+        import scipy.sparse as sp
+
+        from prealps_tpu.cli import ecg_main
+        from prealps_tpu.core.io import load_partition, save_mtx
+
+        rng = np.random.default_rng(3)
+        npts = 608
+        pts = rng.random((npts, 3))
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        adj = sp.csr_matrix((d2 < 0.25 ** 2).astype(np.float64))
+        adj = adj + adj.T
+        a = sp.csr_matrix(
+            sp.diags(np.asarray(adj.sum(axis=1)).ravel() + 1.0) - adj)
+        pm = rng.permutation(npts)
+        a = sp.csr_matrix(a[pm][:, pm])
+        mtx = tmp_path / "geo.mtx"
+        save_mtx(str(mtx), a)
+        part_path = tmp_path / "parts.txt"
+
+        rc = ecg_main([
+            "-m", str(mtx), "-e", "2", "--nshards", "4", "-t", "1e-8",
+            "--json", "--save-partition", str(part_path),
+        ])
+        assert rc in (0, None)
+        rec1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec1["relres"] < 1e-6
+        part = load_partition(str(part_path), npts)
+        assert part.min() >= 0 and part.max() == 3
+
+        # reload: pinned partition (general path) must solve correctly
+        rc = ecg_main([
+            "-m", str(mtx), "-e", "2", "--nshards", "4", "-t", "1e-8",
+            "--json", "--partition-file", str(part_path),
+        ])
+        assert rc in (0, None)
+        rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec2["relres"] < 1e-6

@@ -475,3 +475,65 @@ class TestAutoFormat:
         x, info = solver.solve(b)
         relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
         assert relres < 1e-6, (relres, info)
+
+    def test_detect_banded_prefers_dia_over_blockstencil(self, rng):
+        """A SCALAR-banded matrix also passes the br=3 stencil test but at
+        ~1/3 block fill — DIA is the measured-faster form (2.6× on TPU)."""
+        from prealps_tpu.ops.formats import detect_format
+
+        n = 60_000
+        offs = [0, 1, 2, 3, 5, 8, 13, 21, 34]
+        mats = [sp.diags(rng.random(n - o) + 0.1, o, shape=(n, n))
+                for o in offs]
+        band = sum(mats[1:], mats[0])
+        band = (band + band.T).tocsr()
+        band = band + sp.diags(np.asarray(abs(band).sum(axis=1)).ravel())
+        fmt, info = detect_format(sp.csr_matrix(band), br=3)
+        assert fmt == "dia", info
+
+    def test_detect_dia_rcm_returns_perm_and_build_applies_it(self, rng):
+        """Shuffled banded matrix: coverage is only recoverable under RCM —
+        detection must return the permutation and the driver must APPLY it
+        (round-4 review: the old code chose 'dia' on RCM coverage but built
+        on the unpermuted matrix)."""
+        from prealps_tpu.ops.formats import detect_format
+        from prealps_tpu.parallel.driver import DistributedECG
+        from prealps_tpu.solvers.ecg import ECGOptions
+
+        n = 1200
+        band = sp.diags(
+            [np.ones(n - 1), 4.0 * np.ones(n), np.ones(n - 1)],
+            [-1, 0, 1]).tocsr()
+        pm = rng.permutation(n)
+        a = sp.csr_matrix(band[pm][:, pm])
+        fmt, info = detect_format(a, br=3)
+        assert fmt == "dia_rcm", info
+        assert "perm" in info
+
+        b = rng.standard_normal(n)
+        solver = DistributedECG.build(
+            a, nshards=1, opts=ECGOptions(t=2, tol=1e-10, maxiter=500),
+            precond="none", fmt="auto", dtype=np.float64, scale=False,
+        )
+        assert solver.pre_perm is not None
+        assert solver.fmt_info["chosen"] == "dia_rcm"
+        x, _ = solver.solve(b)
+        assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-8
+
+    def test_auto_honors_explicit_valid_layout(self, ela_small, rng):
+        """auto_layout=False: an explicitly chosen VALID layout survives
+        detection (round-4 review: fmt=auto silently overwrote it)."""
+        from prealps_tpu.parallel.driver import DistributedECG
+        from prealps_tpu.solvers.ecg import ECGOptions
+
+        a = sp.csr_matrix(ela_small)
+        solver = DistributedECG.build(
+            a, nshards=1,
+            opts=ECGOptions(t=4, tol=1e-8, maxiter=2000, layout="tbn"),
+            precond="block_jacobi", fmt="auto", dtype=np.float64,
+            auto_layout=False,
+        )
+        assert solver.opts.layout == "tbn"   # valid for stencil: kept
+        b = rng.standard_normal(a.shape[0])
+        x, _ = solver.solve(b)
+        assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-6
