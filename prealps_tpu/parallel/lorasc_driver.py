@@ -567,7 +567,26 @@ class DistributedLorascECG:
             def op_apply(v):
                 return _agg_solve(ops_d, s_apply(v)[:, None])[:, 0]
 
-            if restarts > 0:
+            # block (panel) iteration where the basis supports it — the
+            # same dispatch/yield win as the single-chip path
+            # (precond/lorasc_scale.py; vmap lifts the per-vector closures
+            # to panels)
+            import os as _os
+
+            blk = int(_os.environ.get("PREALPS_LANCZOS_BLOCK", "8"))
+            if blk > 1 and restarts > 0 and ncv_eff >= 3 * blk:
+                from prealps_tpu.ops.lanczos import (
+                    block_lanczos_thick_restart,
+                )
+
+                lancz = block_lanczos_thick_restart(
+                    jax.vmap(op_apply, in_axes=1, out_axes=1),
+                    jax.vmap(b_apply, in_axes=1, out_axes=1),
+                    ng_pad, nblocks=-(-ncv_eff // blk), nev=nev, bt=blk,
+                    restarts=(restarts * 5) // 2 + 2,
+                    dtype=jnp.dtype(dtype), v0=v0,
+                )
+            elif restarts > 0:
                 lancz = lanczos_thick_restart(
                     op_apply, b_apply, ng_pad, ncv_eff, nev=nev,
                     restarts=restarts, dtype=jnp.dtype(dtype), v0=v0,
