@@ -537,3 +537,26 @@ class TestAutoFormat:
         b = rng.standard_normal(a.shape[0])
         x, _ = solver.solve(b)
         assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-6
+
+    def test_auto_dia_rcm_multishard_solve(self, rng):
+        """fmt=auto + RCM-recovered DIA over 4 shards: the pre-permutation
+        composes with the row layout and halo plans."""
+        from prealps_tpu.parallel.driver import DistributedECG
+        from prealps_tpu.solvers.ecg import ECGOptions
+
+        n = 2400
+        band = sp.diags(
+            [np.ones(n - 3), np.ones(n - 1), 5.0 * np.ones(n),
+             np.ones(n - 1), np.ones(n - 3)],
+            [-3, -1, 0, 1, 3]).tocsr()
+        pm = rng.permutation(n)
+        a = sp.csr_matrix(band[pm][:, pm])
+        b = rng.standard_normal(n)
+        solver = DistributedECG.build(
+            a, nshards=4, opts=ECGOptions(t=2, tol=1e-10, maxiter=400),
+            precond="block_jacobi", fmt="auto", dtype=np.float64,
+        )
+        assert solver.fmt_info["chosen"] == "dia_rcm"
+        x, info = solver.solve(b)
+        relres = np.linalg.norm(b - a @ x) / np.linalg.norm(b)
+        assert relres < 1e-8, (relres, info)
