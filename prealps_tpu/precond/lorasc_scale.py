@@ -873,10 +873,11 @@ def build_scalable_lorasc(
         lanczos_block = 0
     if lanczos_block > 1:
         # the block iteration gains bt-wide panels but loses polynomial
-        # degree per cycle; ~2.4× the cycles restores the scalar yield
-        # (measured 14³ het f32: 24 pairs at 13 cycles vs scalar's 23 at 6,
-        # in 3.6× fewer sequential dispatches)
-        restarts = max(restarts, (restarts * 5) // 2 + 2)
+        # degree per cycle; ~2× the cycles restores the scalar yield, which
+        # SATURATES there (measured: 97 pairs at 9, 12 and 15 cycles at
+        # n=148k het; 24 pairs at 9-14 cycles at 10³ — still ~5× fewer
+        # sequential dispatches than the scalar iteration)
+        restarts = max(restarts, restarts * 2 - 1)
 
     @jax.jit
     def _lanczos_run(ops, dg, eg, v0):
