@@ -583,7 +583,7 @@ class DistributedLorascECG:
                     jax.vmap(op_apply, in_axes=1, out_axes=1),
                     jax.vmap(b_apply, in_axes=1, out_axes=1),
                     ng_pad, nblocks=-(-ncv_eff // blk), nev=nev, bt=blk,
-                    restarts=max(restarts, restarts * 2 - 1),
+                    restarts=max(restarts, (restarts * 5) // 2 + 2),
                     dtype=jnp.dtype(dtype), v0=v0,
                 )
             elif restarts > 0:

@@ -873,11 +873,12 @@ def build_scalable_lorasc(
         lanczos_block = 0
     if lanczos_block > 1:
         # the block iteration gains bt-wide panels but loses polynomial
-        # degree per cycle; ~2× the cycles restores the scalar yield, which
-        # SATURATES there (measured: 97 pairs at 9, 12 and 15 cycles at
-        # n=148k het; 24 pairs at 9-14 cycles at 10³ — still ~5× fewer
-        # sequential dispatches than the scalar iteration)
-        restarts = max(restarts, restarts * 2 - 1)
+        # degree per cycle; ~2.4× the cycles restores the scalar yield.
+        # NOT safely reducible: n=148k saturates at 9 cycles (97 pairs at
+        # 9/12/15) but 14³ f32 falls off a cliff below 15 (4 pairs at 14,
+        # 0 at 10) — the required degree depends on ng/nev, so keep the
+        # conservative default (still 3.2× fewer sequential dispatches)
+        restarts = max(restarts, (restarts * 5) // 2 + 2)
 
     @jax.jit
     def _lanczos_run(ops, dg, eg, v0):
