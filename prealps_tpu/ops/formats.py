@@ -408,19 +408,26 @@ def detect_format(
 
     # stencil-vs-dia arbitration: a SCALAR-banded matrix also passes the
     # br-block stencil test but at ~1/br block fill — the br=1 DIA form
-    # moves 1/fill fewer bytes (measured 2.6× on the 17-diagonal class)
-    if stencil_ok and not (cov >= 0.9 and st_fill < 0.5):
+    # moves 1/fill fewer bytes (measured 2.6× on the 17-diagonal class).
+    # DIA only wins the arbitration when it actually QUALIFIES (≥ the
+    # caller's dia_min_cov too), else the passing stencil stands.
+    prefer_dia = cov >= max(0.9, dia_min_cov) and st_fill < 0.5
+    if stencil_ok and not prefer_dia:
         return "stencil", info
     if cov >= dia_min_cov:
         return "dia", info
+    if stencil_ok:
+        return "stencil", info
     if n == m and allow_reorder:
         from prealps_tpu.core.partition import rcm_order
 
         perm_r = rcm_order(a)
-        cov_r = dia_coverage(a[perm_r][:, perm_r].tocsr(), min_fill=0.05)
+        ap_r = a[perm_r][:, perm_r].tocsr()
+        cov_r = dia_coverage(ap_r, min_fill=0.05)
         info["dia_coverage_rcm"] = round(float(cov_r), 3)
         if cov_r >= dia_min_cov:
             info["perm"] = perm_r
+            info["permuted"] = ap_r   # already built for scoring — reuse
             return "dia_rcm", info
 
     # 3. Morton-clustered block-ELL vs plain ELL. Multi-shard block-ELL
@@ -440,6 +447,7 @@ def detect_format(
         # 1.9× at ~0.15; below ~0.06 the 1/fill compute inflation wins
         if fill_m >= bell_min_fill and fill_m > 1.3 * fill_nat:
             info["perm"] = perm
+            info["permuted"] = ap     # already built for scoring — reuse
             return "block_ell_morton", info
     if fill_nat >= max(bell_min_fill, 0.1):
         return "block_ell_natural", info

@@ -189,6 +189,35 @@ def lanczos_thick_restart(
     )
 
 
+def resolve_block_policy(restarts: int, ncv_eff: int, nondeg_dim: int,
+                         blk: int | None = None):
+    """Shared block-vs-scalar Lanczos dispatch policy for the LORASC builds
+    (single-chip lorasc_scale.py and the distributed lorasc_driver.py must
+    tune in lockstep — these constants have churned).
+
+    Returns (blk, nblocks, restarts_eff): blk == 0 means use the scalar
+    iteration. The basis dimension nblocks·blk is capped at nondeg_dim − 1
+    (the B-inner product is degenerate beyond the real separator dofs — a
+    basis that overruns it forces b_qr's rank-deficiency fallback and
+    degrades the Ritz yield; the scalar path caps ncv the same way).
+    """
+    import os as _os
+
+    if blk is None:
+        blk = int(_os.environ.get("PREALPS_LANCZOS_BLOCK", "8"))
+    if blk <= 1 or restarts == 0:
+        return 0, 0, restarts
+    nblocks = min(-(-ncv_eff // blk), max(nondeg_dim - 1, 0) // blk)
+    if nblocks < 3:
+        return 0, 0, restarts
+    # the block iteration loses polynomial degree per cycle; ~2.4× the
+    # cycles restores the scalar yield. NOT safely reducible: n=148k
+    # saturates at 9 cycles (97 pairs at 9/12/15) but 14³ f32 falls off a
+    # cliff below 15 (4 pairs at 14, 0 at 10) — the required degree
+    # depends on ng/nev, so keep the conservative default.
+    return blk, nblocks, max(restarts, (restarts * 5) // 2 + 2)
+
+
 def block_lanczos_thick_restart(
     op_apply_panel: Callable[[jax.Array], jax.Array],  # (n,bt) -> B⁻¹S panel
     b_apply_panel: Callable[[jax.Array], jax.Array],   # (n,bt) -> B panel

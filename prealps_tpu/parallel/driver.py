@@ -155,7 +155,7 @@ class DistributedECG:
             tag = fmt
             if fmt in ("block_ell_morton", "dia_rcm"):
                 pre_perm = fmt_info.pop("perm")
-                a = a[pre_perm][:, pre_perm].tocsr()
+                a = fmt_info.pop("permuted")   # built during scoring
             # the measured-best general path is the XLA gather block-ELL at
             # 8×8 (examples/bench_spmm_general.py; the Pallas streaming
             # kernel is tuned for bk=128 halo blocks)

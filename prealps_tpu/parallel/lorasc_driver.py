@@ -568,13 +568,14 @@ class DistributedLorascECG:
                 return _agg_solve(ops_d, s_apply(v)[:, None])[:, 0]
 
             # block (panel) iteration where the basis supports it — the
-            # same dispatch/yield win as the single-chip path
-            # (precond/lorasc_scale.py; vmap lifts the per-vector closures
-            # to panels)
-            import os as _os
+            # same dispatch/yield win as the single-chip path (the shared
+            # policy lives in ops/lanczos.py::resolve_block_policy; vmap
+            # lifts the per-vector closures to panels)
+            from prealps_tpu.ops.lanczos import resolve_block_policy
 
-            blk = int(_os.environ.get("PREALPS_LANCZOS_BLOCK", "8"))
-            if blk > 1 and restarts > 0 and ncv_eff >= 3 * blk:
+            blk, nblocks_eff, restarts_eff = resolve_block_policy(
+                restarts, ncv_eff, ng_tot)
+            if blk > 1:
                 from prealps_tpu.ops.lanczos import (
                     block_lanczos_thick_restart,
                 )
@@ -582,8 +583,8 @@ class DistributedLorascECG:
                 lancz = block_lanczos_thick_restart(
                     jax.vmap(op_apply, in_axes=1, out_axes=1),
                     jax.vmap(b_apply, in_axes=1, out_axes=1),
-                    ng_pad, nblocks=-(-ncv_eff // blk), nev=nev, bt=blk,
-                    restarts=max(restarts, (restarts * 5) // 2 + 2),
+                    ng_pad, nblocks=nblocks_eff, nev=nev, bt=blk,
+                    restarts=restarts_eff,
                     dtype=jnp.dtype(dtype), v0=v0,
                 )
             elif restarts > 0:

@@ -856,29 +856,17 @@ def build_scalable_lorasc(
     # pairs — unconverged ones are filtered (eig_resid_tol) either way.
     ncv_default = (2 * nev + 1) if restarts > 0 else (3 * nev + 1)
     ncv_eff = min(ncv or ncv_default, max(plan.ng - 1, 2))
-    import os as _os
+    # block iteration by default (round 4, measured at n=148k het: 97
+    # deflated pairs and ~1.1 s / 61 iters vs the scalar iteration's 75
+    # pairs and 1.31 s / 89 — panel width resolves the clustered near-null
+    # window the way the f64 study said it should). The shared policy
+    # (ops/lanczos.py::resolve_block_policy) falls back to scalar for
+    # restarts=0 single-pass requests and tiny/degenerate bases;
+    # PREALPS_LANCZOS_BLOCK=0 restores the scalar iteration everywhere.
+    from prealps_tpu.ops.lanczos import resolve_block_policy
 
-    if lanczos_block is None:
-        # block iteration by default (round 4, measured at n=148k het:
-        # 97 deflated pairs and 0.98 s / 61 iters vs the scalar iteration's
-        # 75 pairs and 1.31 s / 89 — panel width resolves the clustered
-        # near-null window the way the f64 study said it should);
-        # PREALPS_LANCZOS_BLOCK=0 restores the scalar iteration
-        lanczos_block = int(_os.environ.get("PREALPS_LANCZOS_BLOCK", "8"))
-    if lanczos_block > 1 and (restarts == 0
-                              or ncv_eff < 3 * lanczos_block):
-        # restarts=0 requests the documented single-pass lanczos_gen, and
-        # tiny bases (< 3 blocks) degenerate the block thick restart —
-        # both take the scalar path
-        lanczos_block = 0
-    if lanczos_block > 1:
-        # the block iteration gains bt-wide panels but loses polynomial
-        # degree per cycle; ~2.4× the cycles restores the scalar yield.
-        # NOT safely reducible: n=148k saturates at 9 cycles (97 pairs at
-        # 9/12/15) but 14³ f32 falls off a cliff below 15 (4 pairs at 14,
-        # 0 at 10) — the required degree depends on ng/nev, so keep the
-        # conservative default (still 3.2× fewer sequential dispatches)
-        restarts = max(restarts, (restarts * 5) // 2 + 2)
+    lanczos_block, lanczos_nblocks, restarts = resolve_block_policy(
+        restarts, ncv_eff, plan.ng, blk=lanczos_block)
 
     @jax.jit
     def _lanczos_run(ops, dg, eg, v0):
@@ -952,7 +940,7 @@ def build_scalable_lorasc(
 
             lancz = block_lanczos_thick_restart(
                 op_apply_panel, b_apply_panel, ng_pad,
-                nblocks=-(-ncv_eff // lanczos_block), nev=nev,
+                nblocks=lanczos_nblocks, nev=nev,
                 bt=lanczos_block, restarts=restarts,
                 dtype=jnp.dtype(dtype), v0=v0,
             )

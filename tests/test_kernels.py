@@ -630,3 +630,29 @@ class TestBlockThickRestartLanczos:
         lam = np.sort(np.asarray(res.eigvalues))[:6]
         np.testing.assert_allclose(lam, lam_true[:6], rtol=1e-8, atol=1e-10)
         assert np.asarray(res.resid)[:6].max() < 1e-6
+
+
+class TestBlockLanczosPolicy:
+    """Shared block-vs-scalar dispatch policy (ops/lanczos.py)."""
+
+    def test_scalar_fallbacks(self, monkeypatch):
+        from prealps_tpu.ops.lanczos import resolve_block_policy
+
+        monkeypatch.delenv("PREALPS_LANCZOS_BLOCK", raising=False)
+        # restarts=0 single-pass request
+        assert resolve_block_policy(0, 513, 11772)[0] == 0
+        # tiny basis
+        assert resolve_block_policy(5, 16, 11772)[0] == 0
+        # degenerate space: basis would overrun the real separator dofs
+        assert resolve_block_policy(5, 127, 128)[1] * 8 <= 127
+        blk, nb, r = resolve_block_policy(5, 513, 11772)
+        assert blk == 8 and nb == -(-513 // 8) and r == 14
+
+    def test_basis_capped_by_nondegenerate_dim(self):
+        from prealps_tpu.ops.lanczos import resolve_block_policy
+
+        blk, nb, _ = resolve_block_policy(5, 127, 128, blk=8)
+        assert blk == 8 and nb * 8 <= 127
+        # too small after the cap -> scalar
+        blk, nb, _ = resolve_block_policy(5, 127, 20, blk=8)
+        assert blk == 0

@@ -307,10 +307,13 @@ class TestCliPartitionFile:
             ecg_main(["--size", "6x5x5", "--fmt", "ell", "--nshards", "2",
                       "--partition-file", str(part_path)])
 
-    def test_save_partition_under_morton_auto(self, tmp_path, capsys):
-        """fmt=auto with a Morton clustering permutation: the saved
-        partition must be in ORIGINAL row order (round-4 review fix) so the
-        file is reloadable."""
+    def test_save_partition_under_pre_perm_auto(self, tmp_path, capsys):
+        """fmt=auto with a clustering/reordering pre-permutation (at
+        nshards>1 detection reaches it via dia_rcm — the Morton probe is
+        single-shard only): the saved partition must be in ORIGINAL row
+        order (round-4 review fix) so the file is reloadable. The library
+        build below asserts pre_perm actually fired so this test can never
+        go vacuous."""
         import json
 
         import numpy as np
@@ -332,6 +335,12 @@ class TestCliPartitionFile:
         mtx = tmp_path / "geo.mtx"
         save_mtx(str(mtx), a)
         part_path = tmp_path / "parts.txt"
+
+        # guard against vacuity: this matrix must take a pre-permutation
+        from prealps_tpu.ops.formats import detect_format
+
+        chosen, info = detect_format(a, br=3, nshards=4)
+        assert "perm" in info, (chosen, info)
 
         rc = ecg_main([
             "-m", str(mtx), "-e", "2", "--nshards", "4", "-t", "1e-8",
