@@ -323,9 +323,13 @@ def stencil_bsr_spmm_t(a, xt: jax.Array) -> jax.Array:
     s_max, br, _, nrb = a.blocks_t.shape
     halo = max(max(abs(o) for o in a.offsets), 0)
     if (
-        os.environ.get("PREALPS_STENCIL_IMPL") == "pallas"
+        os.environ.get("PREALPS_STENCIL_IMPL", "pallas") == "pallas"
         and jax.default_backend() == "tpu"
     ):
+        # pallas is the DEFAULT on TPU (round-4 measurement: the scan impl
+        # inside the LORASC apply ran at 1.76 ms vs the flat kernel's
+        # 0.17 ms — only bench.py used to set the env, so CLI/library
+        # callers silently paid 10× per operator apply)
         # Wide panels (the Lanczos S·V refinement applies the operator at
         # t≈nev) would need a chunk below the halo — those fall back to the
         # XLA path. The flat sublane-dense kernel is the fast path (0.16 ms
