@@ -100,6 +100,14 @@ class StencilLorascECG:
             pencil=pencil, host_refine=host_refine, correction=correction,
             restarts=restarts, node_part=node_part, in_sep=in_sep,
         )
+        if refine and np.dtype(dtype) == np.float32:
+            # lo half of the f64→f32 operator rounding, A = A32 + A_lo: the
+            # device-resident refinement's residual floor is set by the
+            # matrix storage, not the df vector pair — without this term the
+            # device rnorm reads ~6e-8·‖A‖·‖x‖/‖b‖ BELOW the true residual
+            # (measured ≈1e-5 on het elasticity, i.e. AT the target tol —
+            # probe_bf16_solve.py debug).
+            precond.operands["a_lo_blocks"] = _stencil_lo_blocks(a, a_t, br)
 
         n = a.shape[0]
         nrb = n // br
@@ -143,7 +151,7 @@ class StencilLorascECG:
         # (jitted fns built by _compile_ecg_fns below)
         from prealps_tpu.solvers.ecg import ecg_finalize
 
-        init, step = self._fn
+        init, step, _ = self._fn
         opts = self.opts
         dtype = np.asarray(self.precond.operands["sep_mask"]).dtype
         b_lane = np.ascontiguousarray(
@@ -173,20 +181,154 @@ class StencilLorascECG:
         }
         return x.astype(np.float64), info
 
+    def _solve_refined_device(self, b_eff: np.ndarray,
+                              max_refine_rounds: int = 8):
+        """Mixed-precision refinement with DEVICE-RESIDENT state: x and the
+        df residual stay on device across rounds; per round the host sees
+        only the chunk flags and one 4-scalar pack (vs two ~0.6 MB tunnel
+        transfers + a host f64 matvec in the round-3 host loop — measured
+        0.32 s of the 0.85 s het solve, examples/probe_solve_phases.py).
+        A final host-f64 cross-check keeps the honesty contract; on a
+        shortfall (XLA:CPU contracts a*b+c to fma, degrading the df
+        transforms — parallel/driver.py local_refine) the caller finishes
+        with host rounds."""
+        init, step, finish = self._fn
+        opts = self.opts
+
+        normb0 = float(np.linalg.norm(b_eff))
+        b_pad = np.ascontiguousarray(
+            b_eff.reshape(self.nrb, self.br).T)          # (br, nrb) f64
+        b_hi = b_pad.astype(np.float32)
+        b_lo = (b_pad - b_hi.astype(np.float64)).astype(np.float32)
+        b2 = jax.device_put(jnp.asarray(np.stack([b_hi, b_lo])))
+        x2 = jnp.zeros_like(b2)
+        r2 = b2
+        rnorm = normb0
+        prev_relres = np.inf
+        total_iters, rounds = 0, 0
+        breakdown = False
+        for _ in range(max_refine_rounds):
+            relres = rnorm / normb0 if normb0 else 0.0
+            if relres <= self.target_tol or relres > 0.9 * prev_relres:
+                break
+            prev_relres = relres
+            state, normb_dev = init(r2[0], self._m_ops)
+            tol_abs = opts.tol * rnorm
+            prev_it = -1
+            while True:
+                state, flags = step(state, normb_dev, self._m_ops)
+                it, res_now, brk, bs, stall = np.asarray(flags)
+                it = int(it)
+                if (res_now <= tol_abs or it >= opts.maxiter or brk
+                        or bs <= 0 or it == prev_it
+                        or (opts.stall_window > 0
+                            and stall >= opts.stall_window)):
+                    break
+                prev_it = it
+            x2, r2, scal = finish(state, normb_dev, x2, b2, self._m_ops)
+            it_r, brk_f, _bs, rnorm = np.asarray(scal)
+            rnorm = float(rnorm)
+            total_iters += int(it_r)
+            rounds += 1
+            if os.environ.get("PREALPS_REFINE_DEBUG"):
+                print(f"[refine] round={rounds} it={int(it_r)} "
+                      f"rnorm={rnorm:.3e} relres={rnorm / normb0:.3e}",
+                      flush=True)
+            if brk_f:
+                breakdown = True
+                break
+        # ONE x fetch of BOTH df halves. A hi-only fetch (6e-8 relative
+        # representation error) is NOT enough even at tol=1e-5 on the het
+        # problem: ‖x‖/‖b‖ is large there, so the dropped lo half showed up
+        # as true relres ≈ 1e-5 and silently triggered two host polish
+        # rounds (measured: 125 vs 65 iters — probe_bf16_solve.py debug).
+        x_np = np.asarray(x2).astype(np.float64)
+        x_np = x_np[0] + x_np[1]
+        x = np.ascontiguousarray(x_np.T).reshape(-1)
+        r = b_eff - self.a_scaled @ x        # host f64 cross-check
+        info = {
+            "iters": total_iters, "res": float(np.linalg.norm(r)),
+            "normb": normb0, "breakdown": breakdown,
+            "refine_rounds": rounds,
+            "relres_scaled": float(np.linalg.norm(r) / normb0)
+            if normb0 else 0.0,
+            "deflated": self.precond.deflated,
+        }
+        return x, info
+
     def solve(self, b: np.ndarray, max_refine_rounds: int = 8):
         b = np.asarray(b)
         b_eff = self.scale_d * b if self.scale_d is not None else b.astype(np.float64)
         if self.a_scaled is None:
             x, info = self._solve_scaled_once(b_eff)
         else:
-            x, info = refine_solve(
-                self.a_scaled, b_eff, self._solve_scaled_once,
-                self.target_tol, max_rounds=max_refine_rounds,
-            )
+            x, info = None, None
+            if not bool(int(os.environ.get("PREALPS_HOST_REFINE", "0"))):
+                x, info = self._solve_refined_device(
+                    b_eff, max_refine_rounds=max_refine_rounds)
+            if (x is None
+                    or (info["relres_scaled"] > self.target_tol
+                        and not info["breakdown"])):
+                # host-loop fallback (or polish after a device-df shortfall)
+                x0 = x
+                base_iters = info["iters"] if info else 0
+                base_rounds = info.get("refine_rounds", 0) if info else 0
+
+                def _inner(r):
+                    return self._solve_scaled_once(r)
+
+                if x0 is None:
+                    x, info = refine_solve(
+                        self.a_scaled, b_eff, _inner, self.target_tol,
+                        max_rounds=max_refine_rounds)
+                else:
+                    normb = np.linalg.norm(b_eff)
+                    x = x0
+                    brk = False
+                    for _ in range(max_refine_rounds - base_rounds):
+                        r = b_eff - self.a_scaled @ x
+                        relres = np.linalg.norm(r) / normb if normb else 0.0
+                        if relres <= self.target_tol:
+                            break
+                        dx, inf_r = self._solve_scaled_once(r)
+                        x = x + dx
+                        base_iters += inf_r.get("iters", 0)
+                        base_rounds += 1
+                        if inf_r.get("breakdown"):
+                            brk = True
+                            break
+                    r = b_eff - self.a_scaled @ x
+                    info = {
+                        "iters": base_iters,
+                        "res": float(np.linalg.norm(r)),
+                        "normb": float(normb), "breakdown": brk,
+                        "refine_rounds": base_rounds,
+                        "relres_scaled": float(np.linalg.norm(r) / normb)
+                        if normb else 0.0,
+                    }
             info["deflated"] = self.precond.deflated
         if self.scale_d is not None:
             x = self.scale_d * x
         return x, info
+
+
+def _stencil_lo_blocks(a: sp.spmatrix, a_t, br: int) -> jax.Array:
+    """(S, br, br, nrb) f32 blocks of A_lo = A − f32(A) for the stencil
+    offsets of `a_t` (same layout as StencilBsrTMatrix.blocks_t).
+
+    f32, not bf16: with bf16 the correction's own 4e-3 rounding left a
+    ~1e-8 true-residual floor that cost the deep-tolerance (1e-8) solve an
+    extra host polish round (measured: device rnorm 7e-10 vs true 1.2e-8).
+    The 45 MB one-time upload is ~0.17 s on this attach path."""
+    coo = sp.csr_matrix(a).tocoo()
+    nrb = a.shape[0] // br
+    offs = np.asarray(a_t.offsets)
+    slot = np.searchsorted(offs, (coo.col // br) - (coo.row // br))
+    b64 = np.zeros((offs.size, br, br, nrb), dtype=np.float64)
+    b64[slot, coo.row % br, coo.col % br, coo.row // br] = coo.data
+    b32 = b64.astype(np.float32)
+    lo = (b64 - b32.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(lo)
 
 
 def _compile_ecg_fns(plan, opts: ECGOptions, n: int, br: int):
@@ -233,4 +375,49 @@ def _compile_ecg_fns(plan, opts: ECGOptions, n: int, br: int):
             s.stall.astype(jnp.float32),
         ])
 
-    return (jax.jit(init), jax.jit(step))
+    def finish(s, nb, x2, b2, m_ops):
+        """End-of-round glue, entirely on device: fold the round's correction
+        into the double-float solution, recompute the df residual, and pack
+        the host-needed scalars into ONE fetchable vector. The host loop in
+        the round-3 design paid two ~0.6 MB tunnel transfers + a host f64
+        matvec per refinement round (~0.32 s of a 0.85 s het solve —
+        examples/probe_solve_phases.py); here only this scalar pack and the
+        final x cross the tunnel. Residual precision: A·x_hi in compensated
+        double-float (stencil_scan_accumulate_df) + A·x_lo in f32 — the same
+        ~49-mantissa-bit argument as parallel/driver.py local_refine."""
+        from prealps_tpu.ops.doublefloat import df_add
+        from prealps_tpu.ops.spmm import (
+            stencil_scan_accumulate,
+            stencil_scan_accumulate_df,
+        )
+
+        from prealps_tpu.solvers.ecg import ecg_finalize
+
+        res = ecg_finalize(s, nb, opts.layout)
+        xh, xl = df_add((x2[0], x2[1]),
+                        (res.x, jnp.zeros_like(res.x)))
+        a_t = m_ops["a_stencil"]
+        halo = max(max(abs(o) for o in a_t.offsets), 0)
+        xp = xh[None]
+        x_ext = jnp.concatenate(
+            [xp[:, :, nrb - halo:], xp, xp[:, :, :halo]], axis=2)
+        yh, yl = stencil_scan_accumulate_df(
+            a_t.blocks_t, a_t.offsets, x_ext, halo)
+        y2 = stencil_bsr_spmm_t(a_t, xl[None])
+        rh, rl = df_add((b2[0][None], b2[1][None]), (-yh, -yl))
+        rh, rl = df_add((rh, rl), (-y2, jnp.zeros_like(y2)))
+        if "a_lo_blocks" in m_ops:
+            # matrix-rounding correction A_lo·x_hi (see _stencil_lo_blocks)
+            y3 = stencil_scan_accumulate(
+                m_ops["a_lo_blocks"], a_t.offsets, x_ext, halo)
+            rh, rl = df_add((rh, rl), (-y3, jnp.zeros_like(y3)))
+        rnorm = jnp.sqrt(jnp.sum(rh[0].astype(jnp.float32) ** 2))
+        scal = jnp.stack([
+            s.it.astype(jnp.float32),
+            res.breakdown.astype(jnp.float32),
+            jnp.sum(s.mask).astype(jnp.float32),
+            rnorm,
+        ])
+        return jnp.stack([xh, xl]), jnp.stack([rh[0], rl[0]]), scal
+
+    return (jax.jit(init), jax.jit(step), jax.jit(finish))

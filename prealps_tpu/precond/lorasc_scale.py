@@ -715,6 +715,10 @@ def build_scalable_lorasc(
     lanczos_block: int | None = None,  # panel width of the block Lanczos
                                        # (None = env PREALPS_LANCZOS_BLOCK,
                                        # default 0 = scalar iteration)
+    factor_store: str | None = None,   # storage dtype of the banded factors
+                                       # the APPLY streams: "f32", "bf16",
+                                       # "auto" (None = env
+                                       # PREALPS_FACTOR_STORE, default auto)
 ) -> ScalableLorasc:
     """Build the scalable LORASC for a stencil-structured operator `a`
     (already scaled/permuted as the solver will use it; ORIGINAL ordering).
@@ -1059,6 +1063,38 @@ def build_scalable_lorasc(
         _mark("lift")
     elif correction != "sigma":
         raise ValueError(f"unknown correction {correction!r} (sigma | deflate)")
+
+    # Banded-factor storage precision for the HOT apply. The solve operator
+    # L̃⁻ᵀL̃⁻¹ is exactly SPD for ANY stored factors (CG-safe); bf16 storage
+    # halves the dominant byte stream of the apply — measured at n=148k het:
+    # aii_solve 3.68 → 1.93 ms (at the factor-stream roofline either way),
+    # full solve 0.99 s/61 it → 0.75 s/64 it (examples/probe_apply_opt2.py,
+    # probe_bf16_solve.py). Every BUILD-time consumer of the factors
+    # (Lanczos deflation, sloc assembly, Ŵ lift) has already run in f32 by
+    # this point — only the solve-loop applies see bf16.
+    #
+    # auto selects bf16 ONLY for correction="deflate": round 2 measured the
+    # σ-corrected pipeline at 3.4× the iterations with bf16 factors (440 vs
+    # 128, 18³ het — docs/PERFORMANCE.md "bf16 factor storage: rejected").
+    # The two results are consistent: σ amplifies deflated components by up
+    # to 1/λ, so the σ-path iteration DEPENDS on M⁻¹ resolving those
+    # directions to storage precision, while the balancing/BNN projection
+    # handles them in an exact coarse solve and sees the banded factors only
+    # through the (noise-tolerant) fine-space sweep.
+    import os as _os
+    if factor_store is None:
+        factor_store = _os.environ.get("PREALPS_FACTOR_STORE", "auto")
+    if factor_store == "auto":
+        factor_store = ("bf16" if (jnp.dtype(dtype) == jnp.float32
+                                   and jax.default_backend() == "tpu"
+                                   and correction == "deflate")
+                        else "f32")
+    if factor_store == "bf16":
+        for _k in ("aii_linv", "aii_moff", "agg_linv", "agg_moff"):
+            dev[_k] = dev[_k].astype(jnp.bfloat16)
+    elif factor_store != "f32":
+        raise ValueError(
+            f"unknown factor_store {factor_store!r} (f32 | bf16 | auto)")
 
     return ScalableLorasc(plan=plan, operands=dev, deflated=deflated,
                           timings=timings)

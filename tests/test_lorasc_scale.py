@@ -350,3 +350,56 @@ class TestBalancingDeflation:
             assert relres < 5e-3, (dt, relres)   # TRUE residual, not recursive
             iters[np.dtype(dt).name] = info["iters"]
         assert iters["float32"] <= 1.5 * iters["float64"] + 5, iters
+
+
+class TestFactorStore:
+    """bf16 banded-factor storage (build_scalable_lorasc factor_store):
+    the apply's dominant byte stream halved at a ~3e-3 operator perturbation
+    (measured n=148k het: apply 11.8 -> 8.1 ms, solve 0.99 s/61 it ->
+    0.75 s/64 it — examples/probe_apply_opt.py / probe_bf16_solve.py)."""
+
+    def _pair(self):
+        from prealps_tpu.core.generators import elasticity3d
+
+        nel = (4, 3, 3)
+        a = elasticity3d(*nel)
+        kw = dict(nparts=4, br=3, dtype=np.float32, max_deflation=8)
+        lor32 = build_scalable_lorasc(a, factor_store="f32", **kw)
+        lorbf = build_scalable_lorasc(a, factor_store="bf16", **kw)
+        return lor32, lorbf
+
+    def test_bf16_close_to_f32_and_output_dtype(self, rng):
+        lor32, lorbf = self._pair()
+        assert lorbf.operands["aii_linv"].dtype == jnp.bfloat16
+        assert lorbf.operands["agg_moff"].dtype == jnp.bfloat16
+        r = jnp.asarray(
+            rng.standard_normal((2, 3, lor32.plan.nrb)).astype(np.float32))
+        w32 = np.asarray(lor32.apply(r))
+        wbf_dev = lorbf.apply(r)
+        assert wbf_dev.dtype == jnp.float32   # vectors stay f32
+        wbf = np.asarray(wbf_dev)
+        rel = np.max(np.abs(w32 - wbf)) / np.max(np.abs(w32))
+        assert rel < 5e-2, rel
+
+    def test_bf16_apply_stays_symmetric(self, rng):
+        """L~^-T L~^-1 is exactly SPD for ANY stored factors — the CG-safety
+        argument for storage-precision freedom. Verify <r1, M r2> = <r2, M r1>
+        to f32 roundoff on the bf16 build."""
+        _, lorbf = self._pair()
+        nrb = lorbf.plan.nrb
+        r1 = rng.standard_normal((1, 3, nrb)).astype(np.float32)
+        r2 = rng.standard_normal((1, 3, nrb)).astype(np.float32)
+        m1 = np.asarray(lorbf.apply(jnp.asarray(r1)))
+        m2 = np.asarray(lorbf.apply(jnp.asarray(r2)))
+        s12 = float(np.sum(r1 * m2))
+        s21 = float(np.sum(r2 * m1))
+        denom = max(abs(s12), abs(s21), 1e-30)
+        assert abs(s12 - s21) / denom < 1e-4, (s12, s21)
+
+    def test_unknown_factor_store_raises(self):
+        from prealps_tpu.core.generators import elasticity3d
+
+        a = elasticity3d(3, 3, 3)
+        with pytest.raises(ValueError, match="factor_store"):
+            build_scalable_lorasc(a, nparts=2, br=3, dtype=np.float32,
+                                  max_deflation=4, factor_store="f16")
