@@ -228,6 +228,8 @@ def _time_solve(metric, solver, a, b, *, tol, platform, fmt, precond,
     }
     if repeats > 1:
         rec["runs"] = runs
+    if "refine_rounds" in info:
+        rec["refine_rounds"] = int(info["refine_rounds"])
     if correction is not None:
         rec["correction"] = correction
     if hasattr(solver, "precond") and hasattr(solver.precond, "deflated"):
