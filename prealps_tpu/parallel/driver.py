@@ -1145,19 +1145,24 @@ class DistributedECG:
             self._b2_dev = jax.device_put(np.stack([b_hi, b_lo]))
             self._b2_key = key
         lane_major = getattr(self, "_lane_major", False)
-        if not hasattr(self, "_refine_packed_fn"):
-            # ONE dispatch, ONE flat f32 D2H buffer: the pack is traced INTO
-            # the refine program (a separate pack dispatch costs a full
-            # ~0.1 s tunnel round trip), and the correction half x_lo of the
-            # double-float solution is dropped when the target tolerance
-            # does not need it (hi-only error ≈ 6e-8 relative — harmless at
-            # tol ≥ 1e-6, and x_lo is half the transferred bytes)
+        if not hasattr(self, "_refine_run_fn"):
+            # TWO dispatches (refine + pack) but still ONE host fetch in the
+            # good case: dispatches are async — only fetches pay the tunnel
+            # round trip. Keeping the full ECGResult resident lets the lo
+            # half of the double-float x be fetched ON DEMAND: a hi-only x
+            # (6e-8 relative representation error) silently misses the
+            # target when ‖x‖/‖b‖ is large (high-contrast operators — the
+            # stencil-LORASC path measured exactly this cliff,
+            # parallel/lorasc_stencil.py), and before this restructure that
+            # triggered host polish rounds instead of a 0.6 MB lo fetch.
             refine_fn = self._refine_fn
             fetch_lo = self.target_tol < 1e-6
             self._fetch_lo = fetch_lo
 
-            def _packed(b2, *ops):
-                r, rds = refine_fn(b2, *ops)
+            self._refine_run_fn = jax.jit(
+                lambda b2, *ops: refine_fn(b2, *ops))
+
+            def _packed(r, rds):
                 head = jnp.stack([
                     r.iters.astype(jnp.float32), r.res.astype(jnp.float32),
                     r.normb.astype(jnp.float32), r.bs.astype(jnp.float32),
@@ -1170,8 +1175,8 @@ class DistributedECG:
                 ])
 
             self._refine_packed_fn = jax.jit(_packed)
-        flat = np.asarray(
-            self._refine_packed_fn(self._b2_dev, *self._operands))
+        res_dev, rds_dev = self._refine_run_fn(self._b2_dev, *self._operands)
+        flat = np.asarray(self._refine_packed_fn(res_dev, rds_dev))
         hist_len = self.opts.maxiter
         packed = flat[: 6 + hist_len]
         xflat = flat[6 + hist_len:].astype(np.float64)
@@ -1182,9 +1187,13 @@ class DistributedECG:
             x_np = x2[0] + x2[1]
         else:
             x_np = xflat.reshape(xshape)
-        if lane_major:
-            x_np = np.ascontiguousarray(x_np.T).reshape(-1)
-        x = unpad_from_padded(self.layout, x_np)
+
+        def _unpack(x_pad):
+            if lane_major:
+                x_pad = np.ascontiguousarray(x_pad.T).reshape(-1)
+            return unpad_from_padded(self.layout, x_pad)
+
+        x = _unpack(x_np)
         info = {
             "iters": int(packed[0]),
             "res": float(packed[1]),
@@ -1195,9 +1204,20 @@ class DistributedECG:
             "history": packed[6:],
         }
         # host f64 cross-check of the device-side df residual claim
+        normb_eff = np.linalg.norm(b_eff)
         r = b_eff - self.a_scaled @ x
         info["res"] = float(np.linalg.norm(r))
-        info["relres_scaled"] = float(info["res"] / np.linalg.norm(b_eff))
+        info["relres_scaled"] = float(info["res"] / normb_eff)
+        if not self._fetch_lo and info["relres_scaled"] > self.target_tol:
+            # hi-only shortfall: fetch the lo half (one extra round trip)
+            # before concluding the device rounds fell short
+            x_lo = np.asarray(res_dev.x[1]).astype(np.float64)
+            x_full = _unpack(x_np + x_lo.reshape(xshape))
+            r2 = b_eff - self.a_scaled @ x_full
+            if np.linalg.norm(r2) < info["res"]:
+                x = x_full
+                info["res"] = float(np.linalg.norm(r2))
+                info["relres_scaled"] = float(info["res"] / normb_eff)
         return x, info
 
     def solve(self, b: np.ndarray, max_refine_rounds: int = 8):
