@@ -244,6 +244,13 @@ def lorasc_main(argv=None):
                    "projection over the harmonic lift — f32-robust, pair "
                    "with -o omin on high-contrast problems "
                    "(docs/PERFORMANCE.md round-3 continuation)")
+    p.add_argument("--factor-store", default=None,
+                   choices=[None, "auto", "f32", "bf16"],
+                   help="storage dtype of the banded factors the apply "
+                   "streams (--scalable path): auto (default) = bf16 for "
+                   "f32 TPU builds with --correction deflate, else f32 — "
+                   "the measured safe/fast split (docs/PERFORMANCE.md "
+                   "round-4 bf16 reconciliation)")
     args = p.parse_args(argv)
 
     from prealps_tpu.api import ECGSolver
@@ -283,7 +290,7 @@ def lorasc_main(argv=None):
             deflation_tol=args.deflation_tol,
             max_deflation=args.max_deflation, dtype=_dtype_of(args),
             pencil=args.pencil, correction=args.correction,
-            node_part=node_part,
+            node_part=node_part, factor_store=args.factor_store,
         )
         if args.save_partition:
             from prealps_tpu.core.io import save_partition

@@ -66,6 +66,8 @@ class StencilLorascECG:
         node_part=None,        # pinned node partition (part id per node,
                                # -1 = separator; preAlps_utils.c:168-193)
         in_sep=None,
+        factor_store: str | None = None,  # banded-factor storage dtype
+                               # (None = env/auto; see build_scalable_lorasc)
     ) -> "StencilLorascECG":
         # true-f32 MXU passes (bf16 default silently breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -99,6 +101,7 @@ class StencilLorascECG:
             ncv=ncv, dtype=dtype, shift=shift, a_stencil=a_t,
             pencil=pencil, host_refine=host_refine, correction=correction,
             restarts=restarts, node_part=node_part, in_sep=in_sep,
+            factor_store=factor_store,
         )
         if refine and np.dtype(dtype) == np.float32:
             # lo half of the f64→f32 operator rounding, A = A32 + A_lo: the
