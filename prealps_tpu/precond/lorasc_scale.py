@@ -355,6 +355,14 @@ def _sep_flat_t(plan: ArrowBandPlan, gb: jax.Array) -> jax.Array:
     return gb[:, 0].transpose(0, 2, 1).reshape(plan.ng_pad, t)
 
 
+
+def _build_unroll() -> int:
+    """lax.scan unroll for BUILD-path banded solves (Lanczos/sloc/lift).
+    1 keeps the remote compile small; higher values pipeline the factor
+    loads across scan steps at more compile time (PREALPS_BUILD_UNROLL)."""
+    import os
+    return int(os.environ.get("PREALPS_BUILD_UNROLL", "1"))
+
 def _agg_solve(plan, ops, g: jax.Array, unroll=True) -> jax.Array:
     fac = BlockBandedCholesky(ops["agg_linv"], ops["agg_moff"], ops["agg_failed"])
     return _sep_flat_t(plan, block_banded_solve_t(fac, _sep_band_t(plan, g),
@@ -586,7 +594,7 @@ def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
                                   jnp.zeros((), jnp.bool_))
         vb = aig_dof.reshape(1, plan.nblk_i, plan.bs_i, c)
         vb = vb.transpose(1, 0, 3, 2)
-        wb = block_banded_solve_t(fac, vb, unroll=1)
+        wb = block_banded_solve_t(fac, vb, unroll=_build_unroll())
         w_dof = wb.transpose(1, 0, 3, 2).reshape(plan.nblk_i * plan.bs_i, c)
         sloc = agg_dof - jnp.einsum("ic,id->cd", aig_dof, w_dof,
                                     precision=HIGHEST)
@@ -882,7 +890,7 @@ def build_scalable_lorasc(
             y1n = _to_node_major(y1)
             agg_v = _gather_sep(plan, ops, y1n)
             aig_v = _gather_int(plan, ops, y1n)
-            zi = _aii_solve(plan, ops, aig_v, unroll=1)
+            zi = _aii_solve(plan, ops, aig_v, unroll=_build_unroll())
             y2 = stencil_bsr_spmm_t(
                 ops["a_stencil"], _from_node_major(plan, _embed_int(plan, ops, zi))
             )
@@ -927,7 +935,7 @@ def build_scalable_lorasc(
                 return _sep_flat(plan, y)
 
             def op_apply_panel(v):
-                return _agg_solve(plan, ops, s_apply_panel(v), unroll=1)
+                return _agg_solve(plan, ops, s_apply_panel(v), unroll=_build_unroll())
 
             def op_apply(v):
                 return op_apply_panel(v[:, None])[:, 0]
@@ -1134,7 +1142,7 @@ def _attach_deflation_lift(plan: ArrowBandPlan, dev: dict, dtype,
             stencil_bsr_spmm_t(ops["a_stencil"], _from_node_major(plan, e_node)))
         agg_e = _gather_sep(plan, ops, y1n)
         aig_e = _gather_int(plan, ops, y1n)
-        zi = _aii_solve(plan, ops, aig_e, unroll=1)
+        zi = _aii_solve(plan, ops, aig_e, unroll=_build_unroll())
         w_int = _embed_int(plan, ops, zi)            # +Aii⁻¹ Aig E, node-major
         y2 = stencil_bsr_spmm_t(ops["a_stencil"], _from_node_major(plan, w_int))
         agi_zi = _gather_sep(plan, ops, _to_node_major(y2))
