@@ -301,7 +301,13 @@ def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
         # EXECUTION build cost, separating remote-compile overhead from real
         # work (the reference's 15.4 s Table-4 build has no JIT to amortize).
         # Applies to ALL preconds since round 5 — VERDICT r4 #7: the bj2l
-        # headline build had no compile/exec split.
+        # headline build had no compile/exec split. Free the cold build's
+        # device operands first: two resident operand sets OOM the chip on
+        # the big LORASC/PRESC problems.
+        solver = None
+        import gc
+
+        gc.collect()
         t0 = time.time()
         solver = _build_solver(
             a, precond=precond, opts=opts, dtype=dtype, fmt=fmt, nel=nel,
@@ -458,9 +464,16 @@ def _main():
                         "shares the tol=1e-5 record's preconditioner)"),
                 )
                 _emit(rec8)
+                del deep
             except Exception as e:
                 _log(f"lorasc 1e-8 record failed: {type(e).__name__}: {e}")
+            # free the LORASC device operands before the next big build —
+            # keeping them resident OOMed the PRESC solve and then the
+            # headline on the 16 GB chip (bench_r5_try1)
             del het_solver
+            import gc
+
+            gc.collect()
 
             # PRESC on the same het matrix (VERDICT r4 missing #2: one of
             # the reference's two flagship preconditioners — presc.c:72,
@@ -468,7 +481,7 @@ def _main():
             # SSLOC pencil through the scalable machinery, omin + deflate.
             if not bool(int(os.environ.get("PREALPS_BENCH_SKIP_PRESC", "0"))):
                 try:
-                    recp, _ = _solve_record(
+                    recp, presc_solver = _solve_record(
                         "ecg_tts_elasticity3d_145k_het_presc", a_het, b_het,
                         precond="presc", heterogeneous=True,
                         correction=os.environ.get(
@@ -477,8 +490,12 @@ def _main():
                         **het_common,
                     )
                     _emit(recp)
+                    del presc_solver
                 except Exception as e:
                     _log(f"presc record failed: {type(e).__name__}: {e}")
+                import gc
+
+                gc.collect()
         except Exception as e:
             _log(f"lorasc het record failed: {type(e).__name__}: {e}")
 
