@@ -142,7 +142,8 @@ def _report(args, a, b, x, info, wall):
         "n": a.shape[0], "nnz": a.nnz, "iters": info["iters"],
         "relres": relres, "wall_s": round(wall, 4),
     }
-    out.update({k: info[k] for k in ("bs", "breakdown", "refine_rounds") if k in info})
+    out.update({k: info[k] for k in ("bs", "breakdown", "refine_rounds",
+                                     "fmt_chosen") if k in info})
     if args.json:
         print(json.dumps(out))
     else:
@@ -209,6 +210,10 @@ def ecg_main(argv=None):
         save_partition(args.save_partition, part)
     t0 = time.time()
     x, info = solver.solve(b)
+    if solver.fmt_info is not None:
+        # surface the fmt=auto detection outcome (ops/formats.py cascade)
+        info = dict(info)
+        info["fmt_chosen"] = solver.fmt_info.get("chosen")
     return _report(args, a, b, x, info, time.time() - t0)
 
 
