@@ -783,7 +783,12 @@ def _stencil_flat_kernel(xm_ref, x0_ref, xp_ref, blocks_ref, out_ref,
             for k in range(br):
                 xk = jax.lax.slice_in_dim(
                     xs, k * t_dim, (k + 1) * t_dim, axis=0)
-                a = a + blocks_ref[s * br * br + m * br + k, :][None, :] * xk
+                # explicit f32 convert: blocks may be STORED bf16 (halving
+                # the dominant A stream, PREALPS_A_STORE=bf16) while the
+                # accumulation stays f32; no-op for f32 blocks
+                brow = blocks_ref[s * br * br + m * br + k, :].astype(
+                    jnp.float32)
+                a = a + brow[None, :] * xk
             acc[m] = a
     for m in range(br):
         out_ref[m * t_dim:(m + 1) * t_dim, :] = acc[m].astype(out_ref.dtype)

@@ -68,6 +68,16 @@ class StencilLorascECG:
         in_sep=None,
         factor_store: str | None = None,  # banded-factor storage dtype
                                # (None = env/auto; see build_scalable_lorasc)
+        a_store: str | None = None,  # operator stencil-block storage dtype
+                               # for the SOLVE ("f32" | "bf16"; None = env
+                               # PREALPS_A_STORE, default f32). bf16 halves
+                               # the A-stream of the iteration SpMM (the
+                               # kernel is A-bound at ~70% of the measured
+                               # 620 GB/s roofline); the f32 rounding gap is
+                               # recovered by the device-resident refinement
+                               # via the A_lo = A − bf16(A) correction
+                               # operand. The BUILD (interiors, Lanczos,
+                               # Sloc) always runs from the f32 blocks.
     ) -> "StencilLorascECG":
         # true-f32 MXU passes (bf16 default silently breaks CG orthogonality)
         jax.config.update("jax_default_matmul_precision", "highest")
@@ -103,14 +113,40 @@ class StencilLorascECG:
             restarts=restarts, node_part=node_part, in_sep=in_sep,
             factor_store=factor_store,
         )
+        a_store = (a_store or os.environ.get("PREALPS_A_STORE", "f32"))
+        if a_store in ("bf16", "bf16_all") and np.dtype(dtype) == np.float32:
+            # "bf16": bf16 blocks for the PRECONDITIONER's embedded sweep
+            # SpMMs only (lorasc_apply streams A twice per apply — Agi·zi
+            # forward, Aig·zg backward — vs the iteration's once, so this
+            # covers ~2/3 of the solve's A traffic). A preconditioner-side
+            # perturbation only: M changes by a fixed 4e-3, the ITERATION
+            # still solves the exact f32 system.
+            # "bf16_all": the iteration operator too — REJECTED as default
+            # (measured: bf16(A) is INDEFINITE at this problem's κ — an
+            # elementwise 4e-3 perturbation exceeds λ_min of the scaled
+            # operator — and CG breaks down at iteration 1; the bf16
+            # factor/BJ stores survive because LOCAL blocks are
+            # well-conditioned). Kept for measurement.
+            from prealps_tpu.ops.formats import StencilBsrTMatrix
+
+            a_bf = StencilBsrTMatrix(
+                blocks_t=a_t.blocks_t.astype(jnp.bfloat16),
+                offsets=a_t.offsets, shape=a_t.shape)
+            if a_store == "bf16_all":
+                precond.operands["a_stencil"] = a_bf
+            else:
+                precond.operands["a_stencil_m"] = a_bf
+        store_np = (np.float32 if a_store != "bf16_all"
+                    else __import__("ml_dtypes").bfloat16)
         if refine and np.dtype(dtype) == np.float32:
-            # lo half of the f64→f32 operator rounding, A = A32 + A_lo: the
-            # device-resident refinement's residual floor is set by the
+            # lo half of the f64→store operator rounding, A = A_st + A_lo:
+            # the device-resident refinement's residual floor is set by the
             # matrix storage, not the df vector pair — without this term the
-            # device rnorm reads ~6e-8·‖A‖·‖x‖/‖b‖ BELOW the true residual
-            # (measured ≈1e-5 on het elasticity, i.e. AT the target tol —
-            # probe_bf16_solve.py debug).
-            precond.operands["a_lo_blocks"] = _stencil_lo_blocks(a, a_t, br)
+            # device rnorm reads ~6e-8·‖A‖·‖x‖/‖b‖ (f32 store; ~4e-3 bf16)
+            # BELOW the true residual (measured ≈1e-5 on het elasticity,
+            # i.e. AT the target tol — probe_bf16_solve.py debug).
+            precond.operands["a_lo_blocks"] = _stencil_lo_blocks(
+                a, a_t, br, store_dtype=store_np)
 
         n = a.shape[0]
         nrb = n // br
@@ -321,22 +357,26 @@ class StencilLorascECG:
         return x, info
 
 
-def _stencil_lo_blocks(a: sp.spmatrix, a_t, br: int) -> jax.Array:
-    """(S, br, br, nrb) f32 blocks of A_lo = A − f32(A) for the stencil
-    offsets of `a_t` (same layout as StencilBsrTMatrix.blocks_t).
+def _stencil_lo_blocks(a: sp.spmatrix, a_t, br: int,
+                       store_dtype=np.float32) -> jax.Array:
+    """(S, br, br, nrb) f32 blocks of A_lo = A − store(A) for the stencil
+    offsets of `a_t` (same layout as StencilBsrTMatrix.blocks_t), where
+    store() is the dtype the solve's A blocks are actually KEPT in
+    (f32 default; bfloat16 when PREALPS_A_STORE=bf16 halves the A stream).
 
-    f32, not bf16: with bf16 the correction's own 4e-3 rounding left a
-    ~1e-8 true-residual floor that cost the deep-tolerance (1e-8) solve an
-    extra host polish round (measured: device rnorm 7e-10 vs true 1.2e-8).
-    The 45 MB one-time upload is ~0.17 s on this attach path."""
+    The correction itself is f32, not bf16: with a bf16 correction its own
+    4e-3 rounding left a ~1e-8 true-residual floor that cost the
+    deep-tolerance (1e-8) solve an extra host polish round (measured:
+    device rnorm 7e-10 vs true 1.2e-8). The 45 MB one-time upload is
+    ~0.17 s on this attach path."""
     coo = sp.csr_matrix(a).tocoo()
     nrb = a.shape[0] // br
     offs = np.asarray(a_t.offsets)
     slot = np.searchsorted(offs, (coo.col // br) - (coo.row // br))
     b64 = np.zeros((offs.size, br, br, nrb), dtype=np.float64)
     b64[slot, coo.row % br, coo.col % br, coo.row // br] = coo.data
-    b32 = b64.astype(np.float32)
-    lo = (b64 - b32.astype(np.float64)).astype(np.float32)
+    b_st = b64.astype(store_dtype)  # ml_dtypes handles bfloat16 in numpy
+    lo = (b64 - b_st.astype(np.float64)).astype(np.float32)
     return jnp.asarray(lo)
 
 

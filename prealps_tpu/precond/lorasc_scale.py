@@ -401,7 +401,10 @@ def lorasc_apply(plan: ArrowBandPlan, ops: dict, r: jax.Array) -> jax.Array:
       (docs/PERFORMANCE.md round-3 σ-cap causal chain)."""
     from prealps_tpu.ops.spmm import stencil_bsr_spmm_t
 
-    a_t = ops["a_stencil"]
+    # the sweep's embedded SpMMs may ride a reduced-precision (bf16) copy
+    # of A — a preconditioner-side perturbation only (lorasc_stencil.py
+    # a_store="bf16"); the ECG iteration keeps the full-precision blocks
+    a_t = ops.get("a_stencil_m", ops["a_stencil"])
     deflate = "w_lift" in ops
     rn = _to_node_major(r)
     vi = _gather_int(plan, ops, rn)

@@ -403,3 +403,52 @@ class TestFactorStore:
         with pytest.raises(ValueError, match="factor_store"):
             build_scalable_lorasc(a, nparts=2, br=3, dtype=np.float32,
                                   max_deflation=4, factor_store="f16")
+
+
+class TestAStore:
+    """Operator stencil-block storage precision (lorasc_stencil a_store).
+
+    bf16 A is safe ONLY on the preconditioner side: M's sweep SpMMs may ride
+    a 4e-3-perturbed A (any symmetric perturbation of M's internals keeps CG
+    valid), but the ITERATION operator must stay f32 — an elementwise 4e-3
+    rounding exceeds λ_min of the scaled operator, bf16(A) goes indefinite,
+    and CG breaks down at iteration 1 (measured, het 8³). The bf16
+    factor/BJ stores survive because LOCAL blocks are well-conditioned."""
+
+    def _solve(self, a_store, rng):
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.parallel.lorasc_stencil import StencilLorascECG
+        from prealps_tpu.solvers import ECGOptions
+
+        a = elasticity3d(8, 8, 8, heterogeneous=True)
+        b = np.random.default_rng(0).standard_normal(a.shape[0])
+        opts = ECGOptions(t=4, tol=1e-5, maxiter=3000, layout="tbn",
+                          variant="omin")
+        s = StencilLorascECG.build(
+            a, nparts=4, br=3, grid=(9, 9, 8), opts=opts,
+            dtype=np.float32, max_deflation=24, a_store=a_store,
+            correction="deflate")
+        x, info = s.solve(b)
+        relres = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
+        return s, info, relres
+
+    def test_bf16_precond_sweep_equal_convergence(self, rng):
+        s32, info32, rel32 = self._solve("f32", rng)
+        sbf, infobf, relbf = self._solve("bf16", rng)
+        import jax.numpy as jnp
+
+        # the reduced copy exists and the ITERATION copy stays f32
+        assert sbf.precond.operands["a_stencil_m"].blocks_t.dtype == \
+            jnp.bfloat16
+        assert sbf.precond.operands["a_stencil"].blocks_t.dtype == \
+            jnp.float32
+        assert relbf < 1e-4 and rel32 < 1e-4, (relbf, rel32)
+        # equal-convergence contract: within 20% iterations of f32
+        assert infobf["iters"] <= 1.2 * info32["iters"] + 2, (
+            infobf["iters"], info32["iters"])
+
+    def test_bf16_all_breaks_down_documented(self, rng):
+        """bf16_all is the REJECTED configuration (kept for measurement):
+        pin the failure mode so the rejection rationale stays true."""
+        _, info, relres = self._solve("bf16_all", rng)
+        assert bool(info.get("breakdown")) or relres > 1e-3, (info, relres)
