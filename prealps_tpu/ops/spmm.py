@@ -783,11 +783,12 @@ def _stencil_flat_kernel(xm_ref, x0_ref, xp_ref, blocks_ref, out_ref,
             for k in range(br):
                 xk = jax.lax.slice_in_dim(
                     xs, k * t_dim, (k + 1) * t_dim, axis=0)
-                # explicit f32 convert: blocks may be STORED bf16 (halving
-                # the dominant A stream, PREALPS_A_STORE=bf16) while the
-                # accumulation stays f32; no-op for f32 blocks
-                brow = blocks_ref[s * br * br + m * br + k, :].astype(
-                    jnp.float32)
+                # blocks may be STORED bf16 (a_store knob — measured slower,
+                # docs/PERFORMANCE.md round 5, but kept functional): widen
+                # ONLY bf16 so f64 interpret-mode exactness is preserved
+                brow = blocks_ref[s * br * br + m * br + k, :]
+                if brow.dtype == jnp.bfloat16:
+                    brow = brow.astype(jnp.float32)
                 a = a + brow[None, :] * xk
             acc[m] = a
     for m in range(br):
