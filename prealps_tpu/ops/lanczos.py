@@ -211,11 +211,19 @@ def resolve_block_policy(restarts: int, ncv_eff: int, nondeg_dim: int,
     if nblocks < 3:
         return 0, 0, restarts
     # the block iteration loses polynomial degree per cycle; ~2.4× the
-    # cycles restores the scalar yield. NOT safely reducible: n=148k
-    # saturates at 9 cycles (97 pairs at 9/12/15) but 14³ f32 falls off a
-    # cliff below 15 (4 pairs at 14, 0 at 10) — the required degree
-    # depends on ng/nev, so keep the conservative default.
-    return blk, nblocks, max(restarts, (restarts * 5) // 2 + 2)
+    # cycles restores the scalar yield. NOT uniformly reducible: 14³ f32
+    # falls off a cliff below 15 cycles (4 pairs at 14, 0 at 10), so small
+    # pencils keep the conservative 2.5r+2. LARGE pencils saturate much
+    # earlier — n=148k (ng=28.7k): 97 pairs at 9, 12 and 15 cycles
+    # (round 4) and again 97 at 9 vs 70 at 7 (round 5) — and each cycle
+    # there costs ~0.6 s of build, so cap the effective cycles at 9 when
+    # the pencil is past the small-separator regime (ng > 8192, the same
+    # scale gate as the exact-Schur fallback). An explicit restarts above
+    # the cap is honored.
+    eff = max(restarts, (restarts * 5) // 2 + 2)
+    if nondeg_dim > 8192:
+        eff = min(eff, max(9, restarts))
+    return blk, nblocks, eff
 
 
 def block_lanczos_thick_restart(

@@ -646,7 +646,14 @@ class TestBlockLanczosPolicy:
         # degenerate space: basis would overrun the real separator dofs
         assert resolve_block_policy(5, 127, 128)[1] * 8 <= 127
         blk, nb, r = resolve_block_policy(5, 513, 11772)
-        assert blk == 8 and nb == -(-513 // 8) and r == 14
+        # large-pencil (ng > 8192) cycle cap: yield saturates at 9 cycles
+        # at n=148k (97 pairs at 9/12/15 — rounds 4+5) while each cycle
+        # costs ~0.6 s of build
+        assert blk == 8 and nb == -(-513 // 8) and r == 9
+        # small pencils keep the conservative 2.5r+2 (14³ cliffs below 15)
+        assert resolve_block_policy(5, 513, 4725)[2] == 14
+        # an explicit restarts above the cap is honored
+        assert resolve_block_policy(11, 513, 11772)[2] == 11
 
     def test_basis_capped_by_nondegenerate_dim(self):
         from prealps_tpu.ops.lanczos import resolve_block_policy
