@@ -33,6 +33,7 @@ Vectors are lane-major (t, br, nrb) panels throughout (solvers/panels.py
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -362,6 +363,29 @@ def _build_unroll() -> int:
     loads across scan steps at more compile time (PREALPS_BUILD_UNROLL)."""
     import os
     return int(os.environ.get("PREALPS_BUILD_UNROLL", "1"))
+
+
+# jitted deflation-eigensolve cache across builds (see build_scalable_lorasc:
+# a fresh per-build @jax.jit re-lowered + re-dispatched ~10 s of host/remote
+# work for a ~1 s device program). Keyed on everything the trace closes over.
+_LANCZOS_FN_CACHE: dict = {}
+
+
+def _lanczos_fn_key(plan, pencil, nev, ncv_eff, blk, nblocks, restarts,
+                    dtype) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    for arr in (plan.int_nodes, plan.sep_nodes, plan.part_arr, plan.pos_arr,
+                plan.ni_dof):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    h.update(str((
+        plan.nparts, plan.br, plan.nrb, plan.bs_i, plan.nblk_i, plan.nbn_i,
+        plan.bs_g, plan.nblk_g, plan.nsn, plan.nsn_pad,
+        pencil, nev, ncv_eff, blk, nblocks, restarts, str(dtype),
+        _build_unroll(),
+    )).encode())
+    return h.hexdigest()
 
 def _agg_solve(plan, ops, g: jax.Array, unroll=True) -> jax.Array:
     fac = BlockBandedCholesky(ops["agg_linv"], ops["agg_moff"], ops["agg_failed"])
@@ -883,8 +907,20 @@ def build_scalable_lorasc(
     lanczos_block, lanczos_nblocks, restarts = resolve_block_policy(
         restarts, ncv_eff, plan.ng, blk=lanczos_block)
 
+    # Reuse the jitted eigensolve across builds with the same plan/config:
+    # each build used to create a FRESH @jax.jit closure, so even the warm
+    # in-process rebuild re-lowered and re-dispatched the whole program
+    # through the remote compile service — measured round 5: the loop
+    # EXECUTES in ~1.1 s while the per-build stage read 10-13 s. The plan's
+    # index arrays are baked into the trace as constants, so the key hashes
+    # them (plus every closed-over scalar); ops/dg/eg/v0 are jit arguments
+    # and may differ freely (e.g. new matrix values on an identical grid).
+    _ck = _lanczos_fn_key(plan, pencil, nev, ncv_eff, lanczos_block,
+                          lanczos_nblocks, restarts, dtype)
+    _cached = _LANCZOS_FN_CACHE.get(_ck)
+
     @jax.jit
-    def _lanczos_run(ops, dg, eg, v0):
+    def _lanczos_run_fresh(ops, dg, eg, v0):
         def s_apply_panel(v):
             # S V = Agg V − Agi Aii⁻¹ Aig V via two embedded stencil SpMMs;
             # v: (ng_pad, k) panel
@@ -991,6 +1027,15 @@ def build_scalable_lorasc(
         return theta, vecs, bnorm2, resid
 
     v0 = jnp.asarray(sep_mask * 1e-2, dtype=dtype)
+    if os.environ.get("PREALPS_DEBUG_KEEP_BANDED"):
+        # expose the unfactored Agg band for build-stage profiling probes
+        # (never shipped into the solve's operand pytree by default)
+        dev["agg_band_d"], dev["agg_band_e"] = d_g, e_g
+    _lanczos_run = _cached if _cached is not None else _lanczos_run_fresh
+    if _cached is None:
+        if len(_LANCZOS_FN_CACHE) >= 8:
+            _LANCZOS_FN_CACHE.clear()
+        _LANCZOS_FN_CACHE[_ck] = _lanczos_run_fresh
     theta, vecs, bnorm2, resid = _lanczos_run(dev, d_g, e_g, v0)
     theta.block_until_ready()
     _mark("lanczos")
