@@ -315,3 +315,17 @@ def csr_slab_groups(a_csr, rows_per_block: int):
         else:
             groups[g].append(b)
     return tuple(g[0] for g in groups), tuple(tuple(g) for g in groups)
+
+
+# Module-level jitted builders: a fresh jax.jit() wrapper per solver build
+# re-lowers and re-dispatches through the (remote) compile service on every
+# build — round-5 measured this class of overhead at ~7 s of the LORASC
+# build_exec (lorasc_scale._LANCZOS_FN_CACHE note). These persist for the
+# process, so warm rebuilds hit the jit cache directly.
+build_device_block_jacobi_jit = jax.jit(
+    build_device_block_jacobi, static_argnames=("mbn", "method"))
+build_device_block_jacobi_flat_jit = jax.jit(
+    build_device_block_jacobi_flat, static_argnames=("mbn", "method"))
+build_device_block_jacobi_grouped_jit = jax.jit(
+    build_device_block_jacobi_grouped,
+    static_argnames=("mbn", "method", "rep_idx"))

@@ -507,7 +507,7 @@ class DistributedECG:
             # low-mode coarse space is the cheap classical fix and is pure
             # batched GEMM work on the MXU.
             from prealps_tpu.direct.device_bj import (
-                build_device_block_jacobi,
+                build_device_block_jacobi_jit,
             )
             from prealps_tpu.precond.twolevel import (
                 block_low_modes,
@@ -516,9 +516,8 @@ class DistributedECG:
 
             assert fmt == "stencil", "bj2l requires the stencil format"
             q_modes = int(os.environ.get("PREALPS_BJ2L_Q", "6"))
-            inv5 = jax.jit(
-                build_device_block_jacobi, static_argnames=("mbn", "method")
-            )(blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
+            inv5 = build_device_block_jacobi_jit(
+                blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
             nb_ = inv5.shape[0]
             mb_ = br * mbn
             inv_f = inv5.reshape(nb_, mb_, mb_)
@@ -604,8 +603,8 @@ class DistributedECG:
             # block Jacobi assembled and inverted ON DEVICE from the stencil
             # (no host transfer of dense factors; direct/device_bj.py)
             from prealps_tpu.direct.device_bj import (
-                build_device_block_jacobi,
-                build_device_block_jacobi_grouped,
+                build_device_block_jacobi_grouped_jit,
+                build_device_block_jacobi_jit,
                 csr_slab_groups,
             )
 
@@ -623,18 +622,15 @@ class DistributedECG:
                 # once — turns the HBM-bound per-block stream into a few
                 # wide-panel MXU GEMMs (device_bj.py dedupe notes)
                 rep_idx, bj_groups = grouping
-                inv_u = jax.jit(
-                    build_device_block_jacobi_grouped,
-                    static_argnames=("mbn", "method", "rep_idx"),
-                )(blocks_t_build, stencil_offsets, mbn=mbn,
-                  rep_idx=rep_idx, method="chol")
+                inv_u = build_device_block_jacobi_grouped_jit(
+                    blocks_t_build, stencil_offsets, mbn=mbn,
+                    rep_idx=rep_idx, method="chol")
                 bj_operands = (inv_u,)
                 bj_specs = (P(None, None, None, None, None),)
                 precond_kind = "bj_dedup"
             elif bj_dtype == "bf16":
-                inv5 = jax.jit(
-                    build_device_block_jacobi, static_argnames=("mbn", "method")
-                )(blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
+                inv5 = build_device_block_jacobi_jit(
+                    blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
                 inv5 = inv5.astype(jnp.bfloat16)
                 bj_operands = (inv5,)
                 bj_specs = (P(AXIS, None, None, None, None),)
@@ -643,13 +639,11 @@ class DistributedECG:
                 # FLAT (nb, mb, mb) inverses: dense sublane tiling on the
                 # dominant HBM read of the apply (device_bj.bj_apply_flat)
                 from prealps_tpu.direct.device_bj import (
-                    build_device_block_jacobi_flat,
+                    build_device_block_jacobi_flat_jit,
                 )
 
-                inv_f = jax.jit(
-                    build_device_block_jacobi_flat,
-                    static_argnames=("mbn", "method"),
-                )(blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
+                inv_f = build_device_block_jacobi_flat_jit(
+                    blocks_t_build, stencil_offsets, mbn=mbn, method="chol")
                 bj_operands = (inv_f,)
                 bj_specs = (P(AXIS, None, None),)
                 precond_kind = "bj_flat"
