@@ -842,21 +842,31 @@ def build_scalable_lorasc(
     # over them would embed multi-GB constants into the lowered module
     # (jax warns "large amount of constants captured"), which the remote
     # compile service materialises host-side.
-    @jax.jit
-    def _factor(stencil, part_a, pos_a, shift_now):
-        d_i, e_i = assemble_band_from_stencil(
-            stencil.blocks_t, stencil.offsets, part_a, pos_a,
-            plan.nparts, plan.nblk_i, plan.bs_i,
-            jnp.asarray(plan.ni_dof), separator=False,
-        )
-        fac_i = block_banded_cholesky(d_i, e_i, shift=shift_now)
-        d_g, e_g = assemble_band_from_stencil(
-            stencil.blocks_t, stencil.offsets, part_a, pos_a,
-            1, plan.nblk_g, plan.bs_g,
-            jnp.asarray(np.array([plan.ng])), separator=True,
-        )
-        fac_g = block_banded_cholesky(d_g, e_g, shift=shift_now)
-        return fac_i, fac_g, d_g, e_g
+    # cached across builds (same rationale as _LANCZOS_FN_CACHE: the fresh
+    # per-build @jax.jit re-lowered + re-dispatched through the remote
+    # compile service on every build)
+    _fk = _lanczos_fn_key(plan, "_factor_stage", 0, 0, 0, 0, 0, dtype)
+    _factor = _LANCZOS_FN_CACHE.get(_fk)
+    if _factor is None:
+        @jax.jit
+        def _factor(stencil, part_a, pos_a, shift_now):
+            d_i, e_i = assemble_band_from_stencil(
+                stencil.blocks_t, stencil.offsets, part_a, pos_a,
+                plan.nparts, plan.nblk_i, plan.bs_i,
+                jnp.asarray(plan.ni_dof), separator=False,
+            )
+            fac_i = block_banded_cholesky(d_i, e_i, shift=shift_now)
+            d_g, e_g = assemble_band_from_stencil(
+                stencil.blocks_t, stencil.offsets, part_a, pos_a,
+                1, plan.nblk_g, plan.bs_g,
+                jnp.asarray(np.array([plan.ng])), separator=True,
+            )
+            fac_g = block_banded_cholesky(d_g, e_g, shift=shift_now)
+            return fac_i, fac_g, d_g, e_g
+
+        if len(_LANCZOS_FN_CACHE) >= 8:
+            _LANCZOS_FN_CACHE.clear()
+        _LANCZOS_FN_CACHE[_fk] = _factor
 
     # float32 builds of ill-conditioned operators can lose positive
     # definiteness during the block recursion; retry with growing diagonal
