@@ -151,7 +151,7 @@ class StencilLorascECG:
         n = a.shape[0]
         nrb = n // br
 
-        fn = _compile_ecg_fns(precond.plan, opts, n, br)
+        fn = _compile_ecg_fns_cached(precond.plan, opts, n, br)
         obj = cls(
             n=n, br=br, nrb=nrb, opts=opts, scale_d=scale_d, precond=precond,
             _fn=fn, target_tol=target_tol, a_scaled=a if refine else None,
@@ -177,7 +177,8 @@ class StencilLorascECG:
             self.opts, tol=inner_tol if refine else tol,
             stall_window=self.opts.stall_window or (250 if refine else 0),
         )
-        fn = _compile_ecg_fns(self.precond.plan, opts, self.n, self.br)
+        fn = _compile_ecg_fns_cached(self.precond.plan, opts, self.n,
+                                     self.br)
         obj = StencilLorascECG(
             n=self.n, br=self.br, nrb=self.nrb, opts=opts,
             scale_d=self.scale_d, precond=self.precond, _fn=fn,
@@ -378,6 +379,26 @@ def _stencil_lo_blocks(a: sp.spmatrix, a_t, br: int,
     b_st = b64.astype(store_dtype)  # ml_dtypes handles bfloat16 in numpy
     lo = (b64 - b_st.astype(np.float64)).astype(np.float32)
     return jnp.asarray(lo)
+
+
+# solve-fn cache across builds/with_tol clones (same rationale as
+# lorasc_scale._LANCZOS_FN_CACHE: per-build jit re-creation re-lowers and
+# re-dispatches through the remote compile service)
+_ECG_FN_CACHE: dict = {}
+
+
+def _compile_ecg_fns_cached(plan, opts: ECGOptions, n: int, br: int):
+    from prealps_tpu.precond.lorasc_scale import _lanczos_fn_key
+
+    key = (_lanczos_fn_key(plan, "ecg_fns", 0, 0, 0, 0, 0, "x"),
+           repr(opts), n, br, os.environ.get("PREALPS_LORASC_CHUNK", "400"))
+    fn = _ECG_FN_CACHE.get(key)
+    if fn is None:
+        fn = _compile_ecg_fns(plan, opts, n, br)
+        if len(_ECG_FN_CACHE) >= 8:
+            _ECG_FN_CACHE.clear()
+        _ECG_FN_CACHE[key] = fn
+    return fn
 
 
 def _compile_ecg_fns(plan, opts: ECGOptions, n: int, br: int):
