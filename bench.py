@@ -418,6 +418,45 @@ def _main():
         except Exception as e:
             _log(f"bj record failed: {type(e).__name__}: {e}")
 
+    if (not fast and on_tpu
+            and not bool(int(os.environ.get("PREALPS_BENCH_SKIP_IRR", "0")))):
+        # general-matrix (structure-hidden) record: the SAME operator family
+        # with its grid structure destroyed by a random row permutation, fed
+        # through fmt=auto — the cascade must fall through stencil/DIA to a
+        # gather format (Morton block-ELL) and still converge. This is the
+        # reference's own operating mode (CSR + MKL, no structure
+        # exploitation — cplm_matcsr.c LoadMatrixMarket); no published
+        # reference number exists at this size, so vs_baseline is omitted.
+        try:
+            import scipy.sparse as sp
+
+            nel_irr = int(os.environ.get("PREALPS_BENCH_IRR_NEL", "20"))
+            a_irr0 = _load_matrix(nel_irr, False)
+            n_irr = a_irr0.shape[0]
+            rng_irr = np.random.default_rng(5)
+            pm = sp.eye(n_irr, format="csr")[rng_irr.permutation(n_irr)]
+            a_irr = (pm @ a_irr0 @ pm.T).tocsr()
+            b_irr = rng_irr.standard_normal(n_irr)
+            irr_common = dict(common)
+            irr_common.update(
+                fmt="auto", nel=nel_irr,
+                opts=ECGOptions(t=t, tol=tol, maxiter=maxiter,
+                                variant=variant, layout="nt"))
+            rec, _ = _solve_record(
+                f"ecg_tts_elasticity3d_shuffled_{n_irr // 1000}k_bj",
+                a_irr, b_irr, precond="bj", heterogeneous=False,
+                baseline=0.0,
+                baseline_note=(
+                    "structure-hidden control for the general/gather path "
+                    "(fmt=auto -> Morton block-ELL); no reference number "
+                    "at this size"),
+                **irr_common,
+            )
+            _emit(rec)
+            del a_irr, a_irr0, pm
+        except Exception as e:
+            _log(f"irregular record failed: {type(e).__name__}: {e}")
+
     if not fast and not skip_het and on_tpu and not heterogeneous:
         # LORASC on the high-contrast layered variant (the reference's
         # Table 4 story); TPU-only — CPU would take tens of minutes.
