@@ -1192,6 +1192,12 @@ def _attach_deflation_lift(plan: ArrowBandPlan, dev: dict, dtype,
     e_sel = jnp.take(dev["e_mat"], jnp.asarray(sel, dtype=jnp.int32), axis=1)
     e_sel = e_sel * dev["sep_mask"][:, None]
 
+    # cached across builds (lift shapes depend on the deflated count k,
+    # which the key carries; same rationale as _LANCZOS_FN_CACHE)
+    _lk = _lanczos_fn_key(plan, "_lift_stage", int(sel.size), 0, 0, 0, 0,
+                          e_sel.dtype)
+    _cached_lift = _LANCZOS_FN_CACHE.get(_lk)
+
     @jax.jit
     def _build_lift(ops, e):
         # one S·E sweep; its Aii⁻¹(Aig E) intermediate IS the interior lift
@@ -1209,6 +1215,12 @@ def _attach_deflation_lift(plan: ArrowBandPlan, dev: dict, dtype,
         lc = jnp.einsum("gk,gj->kj", e, sv, precision=HIGHEST)
         return w, sv, lc
 
+    if _cached_lift is not None:
+        _build_lift = _cached_lift
+    else:
+        if len(_LANCZOS_FN_CACHE) >= 8:
+            _LANCZOS_FN_CACHE.clear()
+        _LANCZOS_FN_CACHE[_lk] = _build_lift
     w, sv, lc = _build_lift(dev, e_sel)
     # Λc is small (k×k) — eigendecompose in f64 on the host and FLOOR its
     # eigenvalues (≈ the pencil λ's, since E is B-normalized) at lam_floor.
