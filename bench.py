@@ -237,13 +237,27 @@ def _time_solve(metric, solver, a, b, *, tol, platform, fmt, precond,
     _log(f"[{metric}] warm solve done ({warm_t:.0f}s, "
          f"iters={info['iters']}); timing...")
     runs = []
+    rng_p = np.random.default_rng(12345)
+    b_used = b
+    best = None
     for _ in range(repeats):
+        # FRESH rhs per timed run: the remote-attach runtime serves an
+        # identical (executable, input) dispatch from its result cache —
+        # observed this round as a 0.06 s "solve" of the 0.22 s headline.
+        # A 1e-10-relative perturbation defeats the cache without moving
+        # the iteration count; relres is computed against the rhs used.
+        b_k = b + rng_p.standard_normal(b.shape) * (
+            np.linalg.norm(b) * 1e-10 / np.sqrt(b.shape[0]))
         t0 = time.time()
-        x, info = solver.solve(b)
-        runs.append((round(time.time() - t0, 4), int(info["iters"])))
-    tts, iters = min(runs)
+        x_k, info = solver.solve(b_k)
+        dt = round(time.time() - t0, 4)
+        runs.append((dt, int(info["iters"])))
+        if best is None or dt < best[0]:
+            best = (dt, int(info["iters"]))
+            x, b_used = x_k, b_k
+    tts, iters = best
 
-    relres = float(np.linalg.norm(b - a @ x) / np.linalg.norm(b))
+    relres = float(np.linalg.norm(b_used - a @ x) / np.linalg.norm(b_used))
     rec = {
         "metric": metric,
         "value": tts,
@@ -286,7 +300,7 @@ def _time_solve(metric, solver, a, b, *, tol, platform, fmt, precond,
 def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
                   platform, heterogeneous, block_size, inner_tol,
                   cheb_degree, nparts, max_deflation, correction=None,
-                  repeats=1, baseline_note=None):
+                  repeats=1, baseline=BASELINE_24P, baseline_note=None):
     t0 = time.time()
     solver = _build_solver(
         a, precond=precond, opts=opts, dtype=dtype, fmt=fmt, nel=nel,
@@ -322,7 +336,8 @@ def _solve_record(metric, a, b, *, precond, opts, dtype, fmt, nel, tol,
     rec = _time_solve(
         metric, solver, a, b, tol=tol, platform=platform, fmt=fmt,
         precond=precond, heterogeneous=heterogeneous, build_t=build_t,
-        repeats=repeats, baseline_note=baseline_note, correction=correction,
+        repeats=repeats, baseline=baseline, baseline_note=baseline_note,
+        correction=correction,
     )
     if exec_build is not None:
         rec["build_exec_s"] = round(exec_build, 2)
