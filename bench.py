@@ -427,7 +427,8 @@ def _main():
         try:
             rec, _ = _solve_record(
                 "ecg_tts_elasticity3d_145k_t12_tol1e-5_bj", a, b,
-                precond="bj", heterogeneous=heterogeneous, **common,
+                precond="bj", heterogeneous=heterogeneous, repeats=3,
+                **common,
             )
             _emit(rec)
         except Exception as e:
@@ -460,7 +461,7 @@ def _main():
             rec, _ = _solve_record(
                 f"ecg_tts_elasticity3d_shuffled_{n_irr // 1000}k_bj",
                 a_irr, b_irr, precond="bj", heterogeneous=False,
-                baseline=0.0,
+                repeats=3, baseline=0.0,
                 baseline_note=(
                     "structure-hidden control for the general/gather path "
                     "(fmt=auto -> Morton block-ELL); no reference number "
@@ -565,9 +566,12 @@ def _main():
             _log(f"weak-scaling record failed: {type(e).__name__}: {e}")
 
     # --- headline (compact scoreboard, headline LAST) ---
+    # repeats=3: the timed solve is a handful of tunnel round trips, and
+    # per-dispatch RTT swings 15-80 ms on this attach path — a single
+    # sample wanders 0.22-0.38 s; best-of-3 pins the low-latency run
     rec, _ = _solve_record(
         "ecg_tts_elasticity3d_145k_t12_tol1e-5", a, b,
-        precond=precond, heterogeneous=heterogeneous, **common,
+        precond=precond, heterogeneous=heterogeneous, repeats=3, **common,
     )
     print("[bench full] " + json.dumps(rec), file=sys.stderr, flush=True)
     _flush_scoreboard(headline=rec)
