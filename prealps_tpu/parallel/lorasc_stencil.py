@@ -263,7 +263,16 @@ class StencilLorascECG:
             prev_it = -1
             while True:
                 state, flags = step(state, normb_dev, self._m_ops)
-                it, res_now, brk, bs, stall = np.asarray(flags)
+                # SPECULATIVE finish: dispatches are async — only fetches
+                # pay the tunnel round trip — so dispatch the round's
+                # closing glue now and fetch its scalar pack TOGETHER with
+                # the chunk flags (one RTT per round instead of two;
+                # wasted work only when a round needs more than one
+                # PREALPS_LORASC_CHUNK-iteration chunk)
+                x2_f, r2_f, scal = finish(state, normb_dev, x2, b2,
+                                          self._m_ops)
+                fl, sc = jax.device_get((flags, scal))
+                it, res_now, brk, bs, stall = np.asarray(fl)
                 it = int(it)
                 if (res_now <= tol_abs or it >= opts.maxiter or brk
                         or bs <= 0 or it == prev_it
@@ -271,8 +280,8 @@ class StencilLorascECG:
                             and stall >= opts.stall_window)):
                     break
                 prev_it = it
-            x2, r2, scal = finish(state, normb_dev, x2, b2, self._m_ops)
-            it_r, brk_f, _bs, rnorm = np.asarray(scal)
+            x2, r2 = x2_f, r2_f
+            it_r, brk_f, _bs, rnorm = np.asarray(sc)
             rnorm = float(rnorm)
             total_iters += int(it_r)
             rounds += 1
