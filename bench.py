@@ -565,6 +565,29 @@ def _main():
         except Exception as e:
             _log(f"weak-scaling record failed: {type(e).__name__}: {e}")
 
+    if not fast:
+        # tuned-for-TPU configuration: the enlarging factor's value is comm
+        # avoidance, which a single chip doesn't have — the on-chip TTS
+        # optimum is t≈4 (round-5 sweep, docs/PERFORMANCE.md). The t=12
+        # headline stays for reference comparability (their ECG(12)).
+        try:
+            best_t = int(os.environ.get("PREALPS_BENCH_BEST_T", "4"))
+            best_common = dict(common)
+            best_common["opts"] = ECGOptions(
+                t=best_t, tol=tol, maxiter=maxiter, variant=variant,
+                layout=layout)
+            rec, _ = _solve_record(
+                f"ecg_tts_elasticity3d_145k_t{best_t}_tol1e-5_tuned", a, b,
+                precond=precond, heterogeneous=heterogeneous, repeats=3,
+                baseline_note=("single-chip tuned enlarging factor; the "
+                               "reference's ECG(12) optimum is a cluster "
+                               "comm-avoidance optimum"),
+                **best_common,
+            )
+            _emit(rec)
+        except Exception as e:
+            _log(f"tuned-t record failed: {type(e).__name__}: {e}")
+
     # --- headline (compact scoreboard, headline LAST) ---
     # repeats=3: the timed solve is a handful of tunnel round trips, and
     # per-dispatch RTT swings 15-80 ms on this attach path — a single
