@@ -43,8 +43,10 @@ _RECORDS = []
 # the compact scoreboard keeps only these fields (bulky provenance —
 # runs, build_breakdown, notes, detail — stays in the stderr full record)
 _COMPACT_KEYS = (
+    # build_s (cold, remote-compile-mood-noisy) lives only in the stderr
+    # full record; build_exec_s is the comparable build cost
     "metric", "value", "unit", "vs_baseline", "iters", "relres",
-    "converged", "deflated_pairs", "build_s", "build_exec_s",
+    "converged", "deflated_pairs", "build_exec_s",
     "gnnz_per_s", "comm_frac", "local_ms", "iter_ms", "shards", "error",
 )
 
