@@ -383,10 +383,13 @@ def _stencil_lo_blocks(a: sp.spmatrix, a_t, br: int,
     nrb = a.shape[0] // br
     offs = np.asarray(a_t.offsets)
     slot = np.searchsorted(offs, (coo.col // br) - (coo.row // br))
-    b64 = np.zeros((offs.size, br, br, nrb), dtype=np.float64)
-    b64[slot, coo.row % br, coo.col % br, coo.row // br] = coo.data
-    b_st = b64.astype(store_dtype)  # ml_dtypes handles bfloat16 in numpy
-    lo = (b64 - b_st.astype(np.float64)).astype(np.float32)
+    # per-entry lo then one f32 scatter (scatter positions are unique), NOT
+    # a dense f64 intermediate: the old path allocated + round-tripped a
+    # 96 MB f64 block table at n=148k for a 48 MB f32 result
+    vals_st = coo.data.astype(store_dtype)  # ml_dtypes handles bf16 numpy
+    lo_vals = (coo.data - vals_st.astype(np.float64)).astype(np.float32)
+    lo = np.zeros((offs.size, br, br, nrb), dtype=np.float32)
+    lo[slot, coo.row % br, coo.col % br, coo.row // br] = lo_vals
     return jnp.asarray(lo)
 
 

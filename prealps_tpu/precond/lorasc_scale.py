@@ -588,9 +588,14 @@ def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
 
     c = nso * br
 
+    # cached across builds (same rationale as _LANCZOS_FN_CACHE)
+    _sk = _lanczos_fn_key(plan, "_sloc_part", nbn, nso, int(schur), 0, 0,
+                          dtype)
+    _cached_sloc = _LANCZOS_FN_CACHE.get(_sk)
+
     @jax.jit
-    def _sloc_part(stencil, linv_p, moff_p, ints_p, bok_p, aigc_p,
-                   owns_p, omask_p, aggc_p):
+    def _sloc_part_fresh(stencil, linv_p, moff_p, ints_p, bok_p, aigc_p,
+                         owns_p, omask_p, aggc_p):
         """One part's Sloc (c, c). Compiled ONCE, executed per part — the
         fully batched form's ~1.6 GB temporaries crashed the remote compile
         helper at n=148k."""
@@ -627,6 +632,11 @@ def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
                                     precision=HIGHEST)
         return 0.5 * (sloc + sloc.T)
 
+    _sloc_part = _cached_sloc if _cached_sloc is not None else _sloc_part_fresh
+    if _cached_sloc is None:
+        if len(_LANCZOS_FN_CACHE) >= 8:
+            _LANCZOS_FN_CACHE.clear()
+        _LANCZOS_FN_CACHE[_sk] = _sloc_part_fresh
     parts = []
     bok_d = jnp.asarray(valid_band.astype(dtype))
     omask_d = jnp.asarray(own_mask.astype(dtype))
