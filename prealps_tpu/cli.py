@@ -337,8 +337,24 @@ def lorasc_main(argv=None):
 
 def bench_main(argv=None):
     """Benchmark wrapper (see bench.py at the repo root)."""
+    import argparse
     import os
     import runpy
+
+    p = argparse.ArgumentParser(
+        prog="prealps-bench",
+        description="Run the headline benchmark suite (bench.py): compact "
+                    "one-line-per-metric scoreboard on stdout, full records "
+                    "on stderr.",
+        epilog="Knobs (env): PREALPS_BENCH_FAST=1 headline only; "
+               "PREALPS_BENCH_SKIP_HET / _SKIP_PRESC / _SKIP_IRR skip "
+               "sections; PREALPS_BENCH_NEL/T/TOL/BJ/PRECOND/HET/FMT, "
+               "PREALPS_STENCIL_IMPL select the configuration.")
+    p.add_argument("--fast", action="store_true",
+                   help="headline record only (PREALPS_BENCH_FAST=1)")
+    args = p.parse_args(argv)
+    if args.fast:
+        os.environ["PREALPS_BENCH_FAST"] = "1"
 
     # bench.py lives at the repo root, one level above the package — resolve
     # relative to the package so the installed entry point works from any CWD
