@@ -167,14 +167,21 @@ def _spmm_kernel_record(a, nel, t, dtype, platform):
         z, _ = jax.lax.scan(lambda c, _: (body(c), None), z, None, length=k)
         return z
 
+    def _sync(arr):
+        # block_until_ready can RETURN EARLY on the remote-attach runtime
+        # (round-5: a 2.4 s eigh "finished" in 0.9 ms); a tiny D2H fetch
+        # forces completion, and its constant latency cancels in the
+        # two-length differential
+        float(np.asarray(jax.device_get(arr.ravel()[0])))
+
     def run_len(k, z):
         z = many(z, k)
-        z.block_until_ready()           # compile + warm
+        _sync(z)                        # compile + warm
         best = 1e9
         for _ in range(2):
             t0 = time.time()
             z = many(z, k)              # fresh input defeats result caching
-            z.block_until_ready()
+            _sync(z)
             best = min(best, time.time() - t0)
         return best, z
 

@@ -42,15 +42,22 @@ def _scan_ms(fn_builder, mesh, in_specs, state, lens=(8, 24), reps=2):
     per-dispatch constant otherwise inflates short chains)."""
     import jax
 
+    def _sync(o):
+        # force completion with a tiny D2H fetch: block_until_ready can
+        # return early on remote-attach runtimes (constant fetch latency
+        # cancels in the two-length differential)
+        leaf = o[0] if isinstance(o, tuple) else o
+        float(np.asarray(jax.device_get(leaf.ravel()[0])))
+        return o
+
     timed = {}
     for length in lens:
         fn = fn_builder(mesh, in_specs, length)
-        out = jax.block_until_ready(fn(*state))  # compile + warm
+        out = _sync(fn(*state))  # compile + warm
         best = 1e9
         for _ in range(reps):
             t0 = time.time()
-            out = jax.block_until_ready(fn(*out) if isinstance(out, tuple)
-                                        else fn(out))
+            out = _sync(fn(*out) if isinstance(out, tuple) else fn(out))
             best = min(best, time.time() - t0)
         timed[length] = best
     return max((timed[lens[1]] - timed[lens[0]]) / (lens[1] - lens[0]) * 1e3,
