@@ -136,8 +136,12 @@ class StencilLorascECG:
                 precond.operands["a_stencil"] = a_bf
             else:
                 precond.operands["a_stencil_m"] = a_bf
-        store_np = (np.float32 if a_store != "bf16_all"
-                    else __import__("ml_dtypes").bfloat16)
+        if a_store == "bf16_all":
+            import ml_dtypes
+
+            store_np = ml_dtypes.bfloat16
+        else:
+            store_np = np.float32
         if refine and np.dtype(dtype) == np.float32:
             # lo half of the f64→store operator rounding, A = A_st + A_lo:
             # the device-resident refinement's residual floor is set by the

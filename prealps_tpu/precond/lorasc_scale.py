@@ -361,7 +361,6 @@ def _build_unroll() -> int:
     """lax.scan unroll for BUILD-path banded solves (Lanczos/sloc/lift).
     1 keeps the remote compile small; higher values pipeline the factor
     loads across scan steps at more compile time (PREALPS_BUILD_UNROLL)."""
-    import os
     return int(os.environ.get("PREALPS_BUILD_UNROLL", "1"))
 
 
@@ -386,6 +385,7 @@ def _lanczos_fn_key(plan, pencil, nev, ncv_eff, blk, nblocks, restarts,
         _build_unroll(),
     )).encode())
     return h.hexdigest()
+
 
 def _agg_solve(plan, ops, g: jax.Array, unroll=True) -> jax.Array:
     fac = BlockBandedCholesky(ops["agg_linv"], ops["agg_moff"], ops["agg_failed"])
