@@ -11,9 +11,10 @@ single TPU chip.
 Output protocol (VERDICT r4 #1: the driver records only the LAST 2000
 characters of stdout, and round 4's flagship records scrolled off): FULL
 records (all provenance fields — runs, build_breakdown, notes) go to
-STDERR as they complete; stdout receives one COMPACT line per metric,
-all printed together at the END of the run, with the headline metric
-LAST. Every scoreboard number is therefore driver-captured.
+STDERR as they complete; stdout receives one COMPACT line per metric as
+it completes (a hard kill keeps what finished) AND the complete compact
+scoreboard again at the END with the headline LAST — read the LAST
+occurrence of each metric. Every scoreboard number is driver-captured.
 
 vs_baseline = reference_time / our_time (>1 ⇒ faster than the 24-proc
 reference run). Metrics: stencil-SpMM kernel (the per-chip mkl_dcsrmm
@@ -36,8 +37,8 @@ import numpy as np
 
 BASELINE_24P = 5.28  # s, reference ECG(12) Ela400 on 24 Xeon cores
 
-# completed records, compact-printed together at the END of the run so the
-# driver's 2000-char stdout tail captures the whole scoreboard
+# completed records, compact-RE-printed together at the END of the run so
+# the driver's 2000-char stdout tail captures the whole scoreboard
 _RECORDS = []
 
 # the compact scoreboard keeps only these fields (bulky provenance —
@@ -63,13 +64,19 @@ def _compact(rec):
 
 
 def _emit(rec):
-    """Full record → stderr now; compact copy queued for the final block."""
+    """Full record → stderr; compact line → stdout NOW (so a hard kill
+    mid-suite still leaves every completed record in the stdout tail) AND
+    queued for the end-of-run block. The final block repeats the whole
+    scoreboard so the driver's 2000-char tail always carries the complete
+    set with the headline last; consumers should read the LAST occurrence
+    of each metric."""
     print("[bench full] " + json.dumps(rec), file=sys.stderr, flush=True)
+    print(json.dumps(_compact(rec)), flush=True)
     _RECORDS.append(rec)
 
 
 def _flush_scoreboard(headline=None):
-    """Print the compact scoreboard to stdout, headline LAST."""
+    """Print the complete compact scoreboard to stdout, headline LAST."""
     for rec in _RECORDS:
         print(json.dumps(_compact(rec)), flush=True)
     if headline is not None:
@@ -258,12 +265,15 @@ def _time_solve(metric, solver, a, b, *, tol, platform, fmt, precond,
         b_k = b + rng_p.standard_normal(b.shape) * (
             np.linalg.norm(b) * 1e-10 / np.sqrt(b.shape[0]))
         t0 = time.time()
-        x_k, info = solver.solve(b_k)
+        x_k, info_k = solver.solve(b_k)
         dt = round(time.time() - t0, 4)
-        runs.append((dt, int(info["iters"])))
+        runs.append((dt, int(info_k["iters"])))
         if best is None or dt < best[0]:
-            best = (dt, int(info["iters"]))
-            x, b_used = x_k, b_k
+            # keep the WHOLE best run (x, rhs, info): mixing the fastest
+            # run's time with another run's refine_rounds/breakdown would
+            # make round-over-round provenance comparisons noisy
+            best = (dt, int(info_k["iters"]))
+            x, b_used, info = x_k, b_k, info_k
     tts, iters = best
 
     relres = float(np.linalg.norm(b_used - a @ x) / np.linalg.norm(b_used))
@@ -271,7 +281,10 @@ def _time_solve(metric, solver, a, b, *, tol, platform, fmt, precond,
         "metric": metric,
         "value": tts,
         "unit": "s",
-        "vs_baseline": round(baseline / tts, 3) if tts > 0 else 0.0,
+        # baseline None/0 = no published reference number for this metric:
+        # OMIT the field rather than emit a misleading 0.0 ratio
+        **({"vs_baseline": round(baseline / tts, 3)}
+           if baseline and tts > 0 else {}),
         "platform": platform,
         "n": a.shape[0], "nnz": nnz,
         "iters": iters,
@@ -434,12 +447,13 @@ def _main():
     if not fast and precond != "bj":
         # round-1 headline configuration, kept for cross-round comparability
         try:
-            rec, _ = _solve_record(
+            rec, bj_solver = _solve_record(
                 "ecg_tts_elasticity3d_145k_t12_tol1e-5_bj", a, b,
                 precond="bj", heterogeneous=heterogeneous, repeats=3,
                 **common,
             )
             _emit(rec)
+            del bj_solver   # free device operands before the next build
         except Exception as e:
             _log(f"bj record failed: {type(e).__name__}: {e}")
 
@@ -467,7 +481,7 @@ def _main():
                 fmt="auto", nel=nel_irr,
                 opts=ECGOptions(t=t, tol=tol, maxiter=maxiter,
                                 variant=variant, layout="nt"))
-            rec, _ = _solve_record(
+            rec, irr_solver = _solve_record(
                 f"ecg_tts_elasticity3d_shuffled_{n_irr // 1000}k_bj",
                 a_irr, b_irr, precond="bj", heterogeneous=False,
                 repeats=3, baseline=0.0,
@@ -478,7 +492,7 @@ def _main():
                 **irr_common,
             )
             _emit(rec)
-            del a_irr, a_irr0, pm
+            del irr_solver, a_irr, a_irr0, pm
         except Exception as e:
             _log(f"irregular record failed: {type(e).__name__}: {e}")
 
@@ -490,17 +504,19 @@ def _main():
         # on high contrast) + balancing deflation (no σ-amplified state),
         # device pairs only (host_refine buys nothing in deflate mode:
         # 89 it/1.31 s raw vs 90/1.36 refined, round 4) — timed 3×.
+        import gc
+
+        a_het = _load_matrix(nel, True)
+        b_het = rng.standard_normal(a_het.shape[0])
+        het_common = dict(common)
+        het_common["opts"] = ECGOptions(
+            t=t, tol=tol, maxiter=maxiter, variant=os.environ.get(
+                "PREALPS_BENCH_HET_VARIANT", "omin"), layout=layout)
+        het_note = (
+            "vs reference Table-4 HOMOGENEOUS Ela400 5.28 s; this matrix "
+            "is the deliberately HARDER layered-contrast variant, so the "
+            "ratio understates the win")
         try:
-            a_het = _load_matrix(nel, True)
-            b_het = rng.standard_normal(a_het.shape[0])
-            het_common = dict(common)
-            het_common["opts"] = ECGOptions(
-                t=t, tol=tol, maxiter=maxiter, variant=os.environ.get(
-                    "PREALPS_BENCH_HET_VARIANT", "omin"), layout=layout)
-            het_note = (
-                "vs reference Table-4 HOMOGENEOUS Ela400 5.28 s; this matrix "
-                "is the deliberately HARDER layered-contrast variant, so the "
-                "ratio understates the win")
             rec, het_solver = _solve_record(
                 "ecg_tts_elasticity3d_145k_het_lorasc", a_het, b_het,
                 precond="lorasc", heterogeneous=True,
@@ -535,33 +551,31 @@ def _main():
             # keeping them resident OOMed the PRESC solve and then the
             # headline on the 16 GB chip (bench_r5_try1)
             del het_solver
-            import gc
-
-            gc.collect()
-
-            # PRESC on the same het matrix (VERDICT r4 missing #2: one of
-            # the reference's two flagship preconditioners — presc.c:72,
-            # presc_eigsolve.c:48 — never had a driver-captured record).
-            # SSLOC pencil through the scalable machinery, omin + deflate.
-            if not bool(int(os.environ.get("PREALPS_BENCH_SKIP_PRESC", "0"))):
-                try:
-                    recp, presc_solver = _solve_record(
-                        "ecg_tts_elasticity3d_145k_het_presc", a_het, b_het,
-                        precond="presc", heterogeneous=True,
-                        correction=os.environ.get(
-                            "PREALPS_BENCH_CORRECTION", "deflate"),
-                        repeats=2, baseline_note=het_note,
-                        **het_common,
-                    )
-                    _emit(recp)
-                    del presc_solver
-                except Exception as e:
-                    _log(f"presc record failed: {type(e).__name__}: {e}")
-                import gc
-
-                gc.collect()
         except Exception as e:
             _log(f"lorasc het record failed: {type(e).__name__}: {e}")
+        gc.collect()
+
+        # PRESC on the same het matrix (VERDICT r4 missing #2: one of the
+        # reference's two flagship preconditioners — presc.c:72,
+        # presc_eigsolve.c:48 — never had a driver-captured record). SSLOC
+        # pencil through the scalable machinery, omin + deflate. Runs in its
+        # OWN try-block: a LORASC failure must not suppress this
+        # independent flagship metric.
+        if not bool(int(os.environ.get("PREALPS_BENCH_SKIP_PRESC", "0"))):
+            try:
+                recp, presc_solver = _solve_record(
+                    "ecg_tts_elasticity3d_145k_het_presc", a_het, b_het,
+                    precond="presc", heterogeneous=True,
+                    correction=os.environ.get(
+                        "PREALPS_BENCH_CORRECTION", "deflate"),
+                    repeats=2, baseline_note=het_note,
+                    **het_common,
+                )
+                _emit(recp)
+                del presc_solver
+            except Exception as e:
+                _log(f"presc record failed: {type(e).__name__}: {e}")
+            gc.collect()
 
     if not fast:
         # weak-scaling comm proxy on the virtual CPU mesh (BASELINE.md
@@ -585,7 +599,7 @@ def _main():
             best_common["opts"] = ECGOptions(
                 t=best_t, tol=tol, maxiter=maxiter, variant=variant,
                 layout=layout)
-            rec, _ = _solve_record(
+            rec, tuned_solver = _solve_record(
                 f"ecg_tts_elasticity3d_145k_t{best_t}_tol1e-5_tuned", a, b,
                 precond=precond, heterogeneous=heterogeneous, repeats=3,
                 baseline_note=("single-chip tuned enlarging factor; the "
@@ -594,6 +608,7 @@ def _main():
                 **best_common,
             )
             _emit(rec)
+            del tuned_solver  # free device operands before the headline
         except Exception as e:
             _log(f"tuned-t record failed: {type(e).__name__}: {e}")
 

@@ -114,6 +114,11 @@ class StencilLorascECG:
             factor_store=factor_store,
         )
         a_store = (a_store or os.environ.get("PREALPS_A_STORE", "f32"))
+        if a_store not in ("f32", "bf16", "bf16_all"):
+            # same contract as factor_store: a typo must not silently run
+            # the full-precision path while claiming a reduced one
+            raise ValueError(
+                f"a_store must be f32 | bf16 | bf16_all, got {a_store!r}")
         if a_store in ("bf16", "bf16_all") and np.dtype(dtype) == np.float32:
             # "bf16": bf16 blocks for the PRECONDITIONER's embedded sweep
             # SpMMs only (lorasc_apply streams A twice per apply — Agi·zi
@@ -397,24 +402,17 @@ def _stencil_lo_blocks(a: sp.spmatrix, a_t, br: int,
     return jnp.asarray(lo)
 
 
-# solve-fn cache across builds/with_tol clones (same rationale as
-# lorasc_scale._LANCZOS_FN_CACHE: per-build jit re-creation re-lowers and
-# re-dispatches through the remote compile service)
-_ECG_FN_CACHE: dict = {}
-
-
 def _compile_ecg_fns_cached(plan, opts: ECGOptions, n: int, br: int):
-    from prealps_tpu.precond.lorasc_scale import _lanczos_fn_key
+    """Solve-fn cache across builds/with_tol clones (same rationale and
+    shared store as lorasc_scale._LANCZOS_FN_CACHE: per-build jit
+    re-creation re-lowers and re-dispatches through the remote compile
+    service; the shared key helper also carries the trace-time env knobs)."""
+    from prealps_tpu.precond.lorasc_scale import _fn_cache_get, _lanczos_fn_key
 
-    key = (_lanczos_fn_key(plan, "ecg_fns", 0, 0, 0, 0, 0, "x"),
-           repr(opts), n, br, os.environ.get("PREALPS_LORASC_CHUNK", "400"))
-    fn = _ECG_FN_CACHE.get(key)
-    if fn is None:
-        fn = _compile_ecg_fns(plan, opts, n, br)
-        if len(_ECG_FN_CACHE) >= 8:
-            _ECG_FN_CACHE.clear()
-        _ECG_FN_CACHE[key] = fn
-    return fn
+    key = (_lanczos_fn_key(plan, "ecg_fns", 0, 0, 0, 0, 0, "x")
+           + repr((repr(opts), n, br,
+                   os.environ.get("PREALPS_LORASC_CHUNK", "400"))))
+    return _fn_cache_get(key, lambda: _compile_ecg_fns(plan, opts, n, br))
 
 
 def _compile_ecg_fns(plan, opts: ECGOptions, n: int, br: int):

@@ -364,9 +364,12 @@ def _build_unroll() -> int:
     return int(os.environ.get("PREALPS_BUILD_UNROLL", "1"))
 
 
-# jitted deflation-eigensolve cache across builds (see build_scalable_lorasc:
-# a fresh per-build @jax.jit re-lowered + re-dispatched ~10 s of host/remote
-# work for a ~1 s device program). Keyed on everything the trace closes over.
+# jitted-program cache across builds (see build_scalable_lorasc: a fresh
+# per-build @jax.jit re-lowered + re-dispatched ~10 s of host/remote work
+# for a ~1 s device program). Keyed on everything the traces close over,
+# INCLUDING the env knobs read at trace time (PREALPS_BUILD_UNROLL and
+# PREALPS_STENCIL_IMPL — stencil_bsr_spmm_t routes on the latter, so a
+# cached trace must not outlive an impl A/B toggle).
 _LANCZOS_FN_CACHE: dict = {}
 
 
@@ -383,8 +386,21 @@ def _lanczos_fn_key(plan, pencil, nev, ncv_eff, blk, nblocks, restarts,
         plan.bs_g, plan.nblk_g, plan.nsn, plan.nsn_pad,
         pencil, nev, ncv_eff, blk, nblocks, restarts, str(dtype),
         _build_unroll(),
+        os.environ.get("PREALPS_STENCIL_IMPL", "pallas"),
     )).encode())
     return h.hexdigest()
+
+
+def _fn_cache_get(key: str, make):
+    """Shared insert-or-reuse for the cross-build jitted-program cache
+    (one place for the eviction policy and the key discipline above)."""
+    fn = _LANCZOS_FN_CACHE.get(key)
+    if fn is None:
+        fn = make()
+        if len(_LANCZOS_FN_CACHE) >= 8:
+            _LANCZOS_FN_CACHE.clear()
+        _LANCZOS_FN_CACHE[key] = fn
+    return fn
 
 
 def _agg_solve(plan, ops, g: jax.Array, unroll=True) -> jax.Array:
@@ -588,11 +604,6 @@ def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
 
     c = nso * br
 
-    # cached across builds (same rationale as _LANCZOS_FN_CACHE)
-    _sk = _lanczos_fn_key(plan, "_sloc_part", nbn, nso, int(schur), 0, 0,
-                          dtype)
-    _cached_sloc = _LANCZOS_FN_CACHE.get(_sk)
-
     @jax.jit
     def _sloc_part_fresh(stencil, linv_p, moff_p, ints_p, bok_p, aigc_p,
                          owns_p, omask_p, aggc_p):
@@ -632,11 +643,11 @@ def _build_sloc_operands(plan: ArrowBandPlan, node_graph, a_stencil, dev,
                                     precision=HIGHEST)
         return 0.5 * (sloc + sloc.T)
 
-    _sloc_part = _cached_sloc if _cached_sloc is not None else _sloc_part_fresh
-    if _cached_sloc is None:
-        if len(_LANCZOS_FN_CACHE) >= 8:
-            _LANCZOS_FN_CACHE.clear()
-        _LANCZOS_FN_CACHE[_sk] = _sloc_part_fresh
+    # cached across builds (same rationale as _LANCZOS_FN_CACHE)
+    _sloc_part = _fn_cache_get(
+        _lanczos_fn_key(plan, "_sloc_part", nbn, nso, int(schur), 0, 0,
+                        dtype),
+        lambda: _sloc_part_fresh)
     parts = []
     bok_d = jnp.asarray(valid_band.astype(dtype))
     omask_d = jnp.asarray(own_mask.astype(dtype))
@@ -855,9 +866,7 @@ def build_scalable_lorasc(
     # cached across builds (same rationale as _LANCZOS_FN_CACHE: the fresh
     # per-build @jax.jit re-lowered + re-dispatched through the remote
     # compile service on every build)
-    _fk = _lanczos_fn_key(plan, "_factor_stage", 0, 0, 0, 0, 0, dtype)
-    _factor = _LANCZOS_FN_CACHE.get(_fk)
-    if _factor is None:
+    def _make_factor():
         @jax.jit
         def _factor(stencil, part_a, pos_a, shift_now):
             d_i, e_i = assemble_band_from_stencil(
@@ -874,9 +883,11 @@ def build_scalable_lorasc(
             fac_g = block_banded_cholesky(d_g, e_g, shift=shift_now)
             return fac_i, fac_g, d_g, e_g
 
-        if len(_LANCZOS_FN_CACHE) >= 8:
-            _LANCZOS_FN_CACHE.clear()
-        _LANCZOS_FN_CACHE[_fk] = _factor
+        return _factor
+
+    _factor = _fn_cache_get(
+        _lanczos_fn_key(plan, "_factor_stage", 0, 0, 0, 0, 0, dtype),
+        _make_factor)
 
     # float32 builds of ill-conditioned operators can lose positive
     # definiteness during the block recursion; retry with growing diagonal
@@ -935,10 +946,6 @@ def build_scalable_lorasc(
     # index arrays are baked into the trace as constants, so the key hashes
     # them (plus every closed-over scalar); ops/dg/eg/v0 are jit arguments
     # and may differ freely (e.g. new matrix values on an identical grid).
-    _ck = _lanczos_fn_key(plan, pencil, nev, ncv_eff, lanczos_block,
-                          lanczos_nblocks, restarts, dtype)
-    _cached = _LANCZOS_FN_CACHE.get(_ck)
-
     @jax.jit
     def _lanczos_run_fresh(ops, dg, eg, v0):
         def s_apply_panel(v):
@@ -1051,11 +1058,10 @@ def build_scalable_lorasc(
         # expose the unfactored Agg band for build-stage profiling probes
         # (never shipped into the solve's operand pytree by default)
         dev["agg_band_d"], dev["agg_band_e"] = d_g, e_g
-    _lanczos_run = _cached if _cached is not None else _lanczos_run_fresh
-    if _cached is None:
-        if len(_LANCZOS_FN_CACHE) >= 8:
-            _LANCZOS_FN_CACHE.clear()
-        _LANCZOS_FN_CACHE[_ck] = _lanczos_run_fresh
+    _lanczos_run = _fn_cache_get(
+        _lanczos_fn_key(plan, pencil, nev, ncv_eff, lanczos_block,
+                        lanczos_nblocks, restarts, dtype),
+        lambda: _lanczos_run_fresh)
     theta, vecs, bnorm2, resid = _lanczos_run(dev, d_g, e_g, v0)
     theta.block_until_ready()
     _mark("lanczos")
@@ -1202,14 +1208,8 @@ def _attach_deflation_lift(plan: ArrowBandPlan, dev: dict, dtype,
     e_sel = jnp.take(dev["e_mat"], jnp.asarray(sel, dtype=jnp.int32), axis=1)
     e_sel = e_sel * dev["sep_mask"][:, None]
 
-    # cached across builds (lift shapes depend on the deflated count k,
-    # which the key carries; same rationale as _LANCZOS_FN_CACHE)
-    _lk = _lanczos_fn_key(plan, "_lift_stage", int(sel.size), 0, 0, 0, 0,
-                          e_sel.dtype)
-    _cached_lift = _LANCZOS_FN_CACHE.get(_lk)
-
     @jax.jit
-    def _build_lift(ops, e):
+    def _build_lift_fresh(ops, e):
         # one S·E sweep; its Aii⁻¹(Aig E) intermediate IS the interior lift
         e_node = _embed_sep(plan, ops, e)
         y1n = _to_node_major(
@@ -1225,12 +1225,12 @@ def _attach_deflation_lift(plan: ArrowBandPlan, dev: dict, dtype,
         lc = jnp.einsum("gk,gj->kj", e, sv, precision=HIGHEST)
         return w, sv, lc
 
-    if _cached_lift is not None:
-        _build_lift = _cached_lift
-    else:
-        if len(_LANCZOS_FN_CACHE) >= 8:
-            _LANCZOS_FN_CACHE.clear()
-        _LANCZOS_FN_CACHE[_lk] = _build_lift
+    # cached across builds (lift shapes depend on the deflated count k,
+    # which the key carries; same rationale as _LANCZOS_FN_CACHE)
+    _build_lift = _fn_cache_get(
+        _lanczos_fn_key(plan, "_lift_stage", int(sel.size), 0, 0, 0, 0,
+                        e_sel.dtype),
+        lambda: _build_lift_fresh)
     w, sv, lc = _build_lift(dev, e_sel)
     # Λc is small (k×k) — eigendecompose in f64 on the host and FLOOR its
     # eigenvalues (≈ the pencil λ's, since E is B-normalized) at lam_floor.
