@@ -420,3 +420,38 @@ class TestCliPartitionFile:
         assert rc in (0, None)
         rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rec2["relres"] < 1e-6
+
+
+class TestWeakScalingScript:
+    """Contract of examples/weak_scaling.py (the bench weak-scaling record
+    parses its stdout): every row must carry the comm/compute split fields
+    the round-5 metric is built from (VERDICT r4 #6)."""
+
+    def test_rows_carry_comm_split(self):
+        import json
+        import os
+        import subprocess
+        import sys as _sys
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env["PYTHONPATH"] = here
+        r = subprocess.run(
+            [_sys.executable, os.path.join(here, "examples",
+                                           "weak_scaling.py"),
+             "--cpu", "--base-nel", "6", "--shards", "1,2", "--maxiter",
+             "30"],
+            capture_output=True, text=True, timeout=600, env=env, cwd=here,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(ln) for ln in r.stdout.splitlines()
+                if ln.strip().startswith("{")]
+        assert len(rows) == 2, r.stdout
+        for row in rows:
+            for key in ("nshards", "iter_ms", "comm_ms", "comm_frac",
+                        "local_ms", "starve_x", "gnnz_per_s"):
+                assert key in row, (key, row)
+        assert rows[0]["comm_frac"] == 0.0          # single shard: no comm
+        assert 0.0 <= rows[1]["comm_frac"] < 1.0    # sane fraction
