@@ -48,7 +48,8 @@ _COMPACT_KEYS = (
     # full record; build_exec_s is the comparable build cost
     "metric", "value", "unit", "vs_baseline", "iters", "relres",
     "converged", "deflated_pairs", "build_exec_s",
-    "gnnz_per_s", "comm_frac", "local_ms", "iter_ms", "shards", "error",
+    "gnnz_per_s", "comm_frac", "eff_opsonly", "local_ms", "iter_ms",
+    "shards", "error",
 )
 
 
@@ -663,21 +664,27 @@ def _weak_scaling_record(timeout_s: int = 900):
              f"{r.stderr[-300:]}")
         return None
     last = rows[-1]
-    comm_frac = float(last.get("comm_frac", 1.0))
+    comm_frac = float(last.get("comm_frac", 1.0))           # solve ablation
+    chain = float(last.get("comm_frac_chain", comm_frac))   # ops-only chain
     return {
         "metric": f"weak_scaling_comm_proxy_virtual{last.get('nshards')}",
         "value": round(1.0 - comm_frac, 3),
         "unit": "x", "platform": f"cpu-virtual (on {ncpu} cores)",
         "vs_baseline": round((1.0 - comm_frac) / 0.70, 3),
         "comm_frac": comm_frac,
+        "eff_opsonly": round(1.0 - chain, 3),
         "iter_ms": last.get("iter_ms"),
         "local_ms": last.get("local_ms"),
         "shards": shard_list,
         "detail": rows,
-        "note": ("value = 1 - comm_frac at the largest shard count "
-                 "(collective time per iteration / measured iteration "
-                 "time, scan-differential); local_ms rows isolate core "
-                 "starvation on the shared-core virtual mesh "
+        "note": ("value = 1 - comm_frac at the largest shard count, where "
+                 "comm_frac comes from a REAL-SOLVE ablation (the same "
+                 "solve re-traced with collectives as local no-ops). "
+                 "eff_opsonly = 1 - comm_frac_chain (collective OPS timed "
+                 "alone) is the optimistic bound: the [value, eff_opsonly] "
+                 "spread is CPU-emulation barrier synchronization, which "
+                 "a dedicated-chip ICI mesh does not pay — resolvable "
+                 "only on real multi-chip hardware "
                  "(vs_baseline = value/0.70 target)"),
     }
 

@@ -6,12 +6,15 @@ problem with the shard count (constant rows/shard) and reports, per row:
 
 - ``iter_ms``     measured per-iteration wall time of the REAL distributed
                   solve (wall / iters at tol=1e-30, warm),
-- ``comm_ms``     scan-differential time of the solve's COLLECTIVE pattern at
-                  the solve's shapes ((1+cheb_degree) halo ppermute pairs of
-                  (t, br, halo) node slabs + one small Gram psum per
-                  iteration — the pattern DistributedECG emits for
-                  fmt=stencil + chebyshev, parallel/driver.py a_apply),
-- ``comm_frac``   comm_ms / iter_ms,
+- ``comm_frac``   1 - iter_nocoll_ms/iter_ms, where iter_nocoll_ms is the
+                  SAME solve re-traced with every collective a local no-op
+                  (ops/blockops.timing_no_collectives — a real-solve
+                  ablation: identical local compute and dispatch
+                  structure, zero comm),
+- ``comm_ms_chain``/``comm_frac_chain``  cross-check: scan-differential
+                  time of a synthetic chain of the solve's collective
+                  pattern at its shapes ((1+cheb_degree) halo ppermute
+                  pairs + one small Gram psum per iteration),
 - ``local_ms``    scan-differential time of the same iteration's LOCAL
                   compute (the (1+deg) stencil SpMMs on this shard's panel +
                   local Gram, no collectives) — the same per-shard work at
@@ -30,6 +33,7 @@ Usage: python examples/weak_scaling.py [--base-nel 8] [--shards 1,2,4]
 import argparse
 import functools
 import json
+import os
 import time
 
 import numpy as np
@@ -125,6 +129,35 @@ def main():
         iter_ms = dt / max(info["iters"], 1) * 1e3
         nnz_s = a.nnz * info["iters"] / dt
 
+        # REAL-SOLVE ablation: the same solver re-traced with every
+        # collective a local no-op (ops/blockops.timing_no_collectives —
+        # results wrong by construction, timing only). Same local compute,
+        # same dispatch structure, zero comm: the difference to the real
+        # solve is the solve's true communication time, and the ablation's
+        # growth over nshards=1 is core starvation on a shared-core
+        # virtual mesh.
+        iter_nc_ms = iter_ms
+        if nshards > 1:
+            os.environ["PREALPS_TIMING_NO_COLLECTIVES"] = "1"
+            try:
+                solver_nc = DistributedECG.build(
+                    a, nshards=nshards, opts=opts, precond="chebyshev",
+                    fmt="stencil", br=3, dtype=dtype, refine=False,
+                    cheb_degree=deg,
+                )
+                solver_nc.solve(b)  # compile + warm
+                t0 = time.time()
+                _, info_nc = solver_nc.solve(b)
+                dt_nc = time.time() - t0
+                # normalize by the ablation's OWN iteration count: its
+                # arithmetic is garbage by construction, so the stall guard
+                # may stop it before maxiter — per-iteration cost is the
+                # comparable quantity
+                iter_nc_ms = dt_nc / max(info_nc["iters"], 1) * 1e3
+            finally:
+                os.environ.pop("PREALPS_TIMING_NO_COLLECTIVES", None)
+        comm_frac_solve = max(0.0, 1.0 - iter_nc_ms / iter_ms)
+
         # shapes of the real solve's comm pattern
         mesh = solver.mesh
         a_pad = permute_and_pad_matrix(
@@ -202,8 +235,10 @@ def main():
             "nshards": nshards, "n": a.shape[0], "nnz": a.nnz,
             "iters": info["iters"], "wall_s": round(dt, 3),
             "iter_ms": round(iter_ms, 3),
-            "comm_ms": round(comm_ms, 3),
-            "comm_frac": round(comm_ms / iter_ms, 3),
+            "iter_nocoll_ms": round(iter_nc_ms, 3),
+            "comm_frac": round(comm_frac_solve, 3),
+            "comm_ms_chain": round(comm_ms, 3),
+            "comm_frac_chain": round(comm_ms / iter_ms, 3),
             "local_ms": round(local_ms, 3),
             "starve_x": round(local_ms / local_base_ms, 3),
             "gnnz_per_s": round(nnz_s / 1e9, 3),

@@ -9,6 +9,7 @@ HIGHEST precision so the f32 path uses true f32 accumulation on the MXU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -16,9 +17,19 @@ import jax.numpy as jnp
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def timing_no_collectives() -> bool:
+    """TIMING-ABLATION mode (PREALPS_TIMING_NO_COLLECTIVES=1): every
+    collective in the solve becomes a local no-op, so a distributed
+    iteration executes exactly its LOCAL compute. Results are WRONG by
+    construction — the knob exists solely so weak-scaling measurements can
+    separate communication time from core starvation on a shared-core
+    virtual mesh (examples/weak_scaling.py). Read at TRACE time."""
+    return bool(int(os.environ.get("PREALPS_TIMING_NO_COLLECTIVES", "0")))
+
+
 def psum(x, axis_name):
     """Cross-shard sum; identity when running single-device (axis_name None)."""
-    if axis_name is None:
+    if axis_name is None or timing_no_collectives():
         return x
     return jax.lax.psum(x, axis_name)
 

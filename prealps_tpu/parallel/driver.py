@@ -709,7 +709,19 @@ class DistributedECG:
                     # rows have no neighbor there), so the ring is exact.
                     t_dim = x_loc.shape[0]
                     halo = max(max(abs(o) for o in stencil_offsets), 0)
-                    if halo <= nrb_loc and nshards > 1:
+                    from prealps_tpu.ops.blockops import (
+                        timing_no_collectives,
+                    )
+
+                    if timing_no_collectives():
+                        # timing-ablation mode (see blockops): local wrap
+                        # instead of the ppermute ring — same local compute,
+                        # no comm, WRONG results by construction
+                        x_ext = jnp.concatenate(
+                            [x_loc[:, :, nrb_loc - halo:], x_loc,
+                             x_loc[:, :, :halo]], axis=2,
+                        )
+                    elif halo <= nrb_loc and nshards > 1:
                         fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
                         bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
                         left = jax.lax.ppermute(

@@ -387,6 +387,7 @@ def _lanczos_fn_key(plan, pencil, nev, ncv_eff, blk, nblocks, restarts,
         pencil, nev, ncv_eff, blk, nblocks, restarts, str(dtype),
         _build_unroll(),
         os.environ.get("PREALPS_STENCIL_IMPL", "pallas"),
+        os.environ.get("PREALPS_TIMING_NO_COLLECTIVES", "0"),
     )).encode())
     return h.hexdigest()
 

@@ -450,7 +450,8 @@ class TestWeakScalingScript:
                 if ln.strip().startswith("{")]
         assert len(rows) == 2, r.stdout
         for row in rows:
-            for key in ("nshards", "iter_ms", "comm_ms", "comm_frac",
+            for key in ("nshards", "iter_ms", "iter_nocoll_ms",
+                        "comm_frac", "comm_ms_chain", "comm_frac_chain",
                         "local_ms", "starve_x", "gnnz_per_s"):
                 assert key in row, (key, row)
         assert rows[0]["comm_frac"] == 0.0          # single shard: no comm
