@@ -35,5 +35,10 @@ def sym_rac_scaling(a: sp.csr_matrix):
     scaled = a.copy()
     for_rows = np.repeat(np.arange(a.shape[0]), counts)
     scaled.data = a.data * d[for_rows] * d[a.indices]
+    # the sparse-matmul form this replaces CANONICALIZED the result —
+    # in particular it dropped explicit zeros (FEM assembly stores them:
+    # 3.6k of 35.6k entries at 6×5×5) — and downstream structure
+    # heuristics (DIA coverage, ELL widths, Sloc patterns) key on nnz
+    scaled.eliminate_zeros()
     scaled.sort_indices()
     return scaled, d
