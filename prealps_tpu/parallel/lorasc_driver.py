@@ -154,6 +154,17 @@ class DistributedLorascECG:
             raise ValueError(
                 f"mesh {g_n}x{l_n} needs {g_n*l_n} devices, have {len(devices)}"
             )
+        if g_n < 2:
+            # one part has no separator — the block-arrow (and LORASC
+            # itself) degenerates; the reference likewise runs under
+            # mpirun -np >= 2 (README.md:57). Single-device LORASC lives in
+            # StencilLorascECG (stencil operators, nparts subdomains on one
+            # chip) / precond.lorasc (small dense).
+            raise ValueError(
+                "DistributedLorascECG needs >= 2 interior parts (nshards/"
+                "mesh_shape); for a single device use "
+                "parallel.lorasc_stencil.StencilLorascECG (stencil "
+                "operators) or precond.lorasc (small matrices)")
         mesh = Mesh(
             np.array(devices[: g_n * l_n]).reshape(g_n, l_n), (AXIS, LOC)
         )

@@ -286,3 +286,21 @@ class TestExactSchurBanded:
         assert _relres(ela_small, x1, b) < 1e-5
         assert _relres(ela_small, x2, b) < 1e-5
         assert abs(i1["iters"] - i2["iters"]) <= 2, (i1["iters"], i2["iters"])
+
+
+class TestSinglePartContract:
+    def test_distributed_lorasc_rejects_one_part(self):
+        """One part has no separator — the block-arrow degenerates (was an
+        obscure shape crash, round 5); the reference's LORASC likewise runs
+        under mpirun -np >= 2 (README.md:57)."""
+        import pytest
+
+        from prealps_tpu.core.generators import elasticity3d
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+        from prealps_tpu.solvers import ECGOptions
+
+        a = elasticity3d(4, 4, 4)
+        with pytest.raises(ValueError, match=">= 2 interior parts"):
+            DistributedLorascECG.build(
+                a, nshards=1, opts=ECGOptions(t=2, tol=1e-6, maxiter=100),
+                dtype=np.float64)
