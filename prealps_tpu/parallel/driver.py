@@ -188,8 +188,13 @@ class DistributedECG:
             # explicitly); otherwise pick the fast valid one
             want = opts.layout
             if auto_layout:
+                # tbn is the TPU fast layout; on other backends nt is
+                # faster — EXCEPT that bj2l only exists lane-major, so a
+                # bj2l request forces tbn wherever the format allows it
                 want = ("tbn" if fmt in ("stencil", "dia")
-                        and jax.default_backend() == "tpu" else "nt")
+                        and (jax.default_backend() == "tpu"
+                             or precond in ("bj2l", "block_jacobi_2l"))
+                        else "nt")
             elif opts.layout == "tbn" and fmt not in ("stencil", "dia"):
                 want = "nt"   # tbn is undefined for gather formats
             if opts.layout != want:
@@ -675,9 +680,15 @@ class DistributedECG:
             bj_operands = None
             bj_specs = None
             precond_kind = None
+        elif precond in ("bj2l", "block_jacobi_2l"):
+            raise ValueError(
+                "bj2l requires the lane-major fast path: fmt='stencil' (or "
+                "'auto' on a stencil-structured matrix) with layout='tbn'; "
+                f"got fmt={fmt!r}, layout={opts.layout!r}")
         else:
             raise ValueError(
-                f"DistributedECG supports block_jacobi/chebyshev/none, got {precond!r}"
+                f"DistributedECG supports block_jacobi/bj2l/chebyshev/none, "
+                f"got {precond!r}"
             )
         if bj_operands is not None:
             jax.block_until_ready(bj_operands)
