@@ -229,6 +229,29 @@ class TestDistributedDeflateCorrection:
             iters[corr] = info["iters"]
         assert iters["deflate"] <= 1.25 * iters["sigma"] + 5, iters
 
+    def test_deflate_f32_omin_bounded_iterations(self, ela_small, rng):
+        """The driver-environment dryrun regime (f32, x64 off in that
+        process): deflate-corrected LORASC with the PRODUCTION variant
+        (omin — docs/PERFORMANCE.md round 3: the odir recurrence drifts in
+        f32 under this correction) must converge in the deflation-quality
+        iteration class, not the drift class. Round-5 incident: path 6 was
+        committed with odir_fused and silently ran 4417 iterations in the
+        driver env (88 with omin; f64 takes 54 either way) — this pins the
+        f32 contract at pytest level so the dryrun isn't the only net."""
+        from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
+
+        b = rng.standard_normal(ela_small.shape[0]).astype(np.float32)
+        opts = ECGOptions(t=2, tol=1e-6, maxiter=4000, variant="omin")
+        s = DistributedLorascECG.build(
+            ela_small, nshards=4, opts=opts, exact_schur=False,
+            max_deflation=16, correction="deflate", dtype=np.float32,
+        )
+        x, info = s.solve(b)
+        assert _relres(ela_small, x, b) < 1e-5
+        assert not info["breakdown"]
+        # drift regime is O(1000); deflation-quality is O(100) here
+        assert info["iters"] < 400, info["iters"]
+
     def test_deflate_two_level_mesh(self, ela_small, rng):
         """deflate on the ("shards","local") two-level mesh: the Ŵ chunks
         shard over BOTH axes and c1 psums over both."""
