@@ -99,6 +99,11 @@ class DistributedLorascECG:
     _operands: tuple
     target_tol: float = 0.0
     a_scaled: object = None
+    # multi-process (jax.distributed) support: the mesh + rhs spec for
+    # globalizing per-process host arrays at solve time (None-safe:
+    # single-process solves never touch them)
+    _mesh: object = None
+    _bspec: object = None
 
     # kept for API compat with round-1 callers
     @property
@@ -619,6 +624,23 @@ class DistributedLorascECG:
             theta, vecs, bnorm2, resid = rayleigh_ritz_refine(vecs, sv, bv)
             return theta, vecs, bnorm2, resid
 
+        # multi-process (jax.distributed) runs: every jitted shard_map over
+        # the global mesh needs inputs whose sharding spans all processes —
+        # globalize host/local operands per their specs (no-op single-proc).
+        # The build itself is deterministic straight-line SPMD code, so all
+        # processes construct identical host values (the reference's
+        # every-rank-owns-the-operator discipline, operator.c:38).
+        from prealps_tpu.parallel import multihost as _mh
+
+        _multiproc = _mh.process_count() > 1
+
+        def _gz(ops_d):
+            return _mh.globalize_operands(mesh, specs, ops_d)
+
+        def _gz1(v):
+            return (_mh.make_global(mesh, P(), np.asarray(v))
+                    if _multiproc else v)
+
         if exact_schur:
             # S⁻¹ is applied directly (agg_inv above) — no correction term
             e_mat = jnp.zeros((ng_pad, 1), dtype=dtype)
@@ -635,8 +657,15 @@ class DistributedLorascECG:
             )
             v0 = jnp.asarray(sep_mask_np * 1e-2, dtype=dtype)
             theta, vecs, bnorm2, resid = lancz_fn(
-                operands, jnp.asarray(sep_mask_np), v0
+                _gz(operands), _gz1(sep_mask_np), _gz1(v0)
             )
+            if _multiproc:
+                # replicated global outputs -> host copies: the eager
+                # filter/σ ops below would otherwise mix global and
+                # process-local arrays
+                theta, vecs, bnorm2, resid = (
+                    np.asarray(theta), np.asarray(vecs),
+                    np.asarray(bnorm2), np.asarray(resid))
             # filter unconverged Ritz pairs — they poison the correction (see
             # precond/lorasc_scale.py selection note)
             ok = (
@@ -701,7 +730,7 @@ class DistributedLorascECG:
                 )
             )
             w_lift, aw_sep, lc = lift_fn(
-                operands, jnp.asarray(sep_mask_np), e_sel)
+                _gz(operands), _gz1(sep_mask_np), _gz1(e_sel))
             lc64 = np.asarray(lc, dtype=np.float64)
             lc64 = 0.5 * (lc64 + lc64.T)
             lam_c, u_c = np.linalg.eigh(lc64)
@@ -782,8 +811,11 @@ class DistributedLorascECG:
         return cls(
             ngroups=g_n, nlocal=l_n, ni_max=ni_max, ng_max=ng_max, n=n,
             scale_d=scale_d, arrow_perm=arrow.perm, row_of=row_of,
-            opts=opts, deflated=deflated, _fn=fn, _operands=(operands,),
+            opts=opts, deflated=deflated, _fn=fn,
+            _operands=(_gz(operands),),
             target_tol=target_tol, a_scaled=a if refine else None,
+            _mesh=mesh if _multiproc else None,
+            _bspec=flat_rows if _multiproc else None,
         )
 
     def solve(self, b: np.ndarray, max_refine_rounds: int = 8):
@@ -804,7 +836,7 @@ class DistributedLorascECG:
         return self._solve_scaled_once_unscaled(b)
 
     def _solve_scaled_once_unscaled(self, b):
-        dtype = np.asarray(self._operands[0]["ell_vals"]).dtype
+        dtype = self._operands[0]["ell_vals"].dtype
         b_eff = (self.scale_d * b if self.scale_d is not None else b).astype(dtype)
         x, info = self._solve_scaled_once(b_eff)
         if self.scale_d is not None:
@@ -812,15 +844,22 @@ class DistributedLorascECG:
         return x, info
 
     def _solve_scaled_once(self, b_eff: np.ndarray):
-        dtype = np.asarray(self._operands[0]["ell_vals"]).dtype
+        dtype = self._operands[0]["ell_vals"].dtype
         b_eff = np.asarray(b_eff).astype(dtype)
         b_arrow = b_eff[self.arrow_perm]
         n_pad = self.row_of.shape[0]
         b_pad = np.zeros(n_pad, dtype=dtype)
         real = self.row_of >= 0
         b_pad[real] = b_arrow[self.row_of[real]]
-        res = self._fn(jnp.asarray(b_pad), *self._operands)
-        x_pad = np.asarray(res.x)
+        if self._mesh is not None:   # multi-process: rhs/x cross processes
+            from prealps_tpu.parallel import multihost as _mh
+
+            b_in = _mh.make_global(self._mesh, self._bspec, b_pad)
+            res = self._fn(b_in, *self._operands)
+            x_pad = _mh.replicate_to_host(self._mesh, res.x)
+        else:
+            res = self._fn(jnp.asarray(b_pad), *self._operands)
+            x_pad = np.asarray(res.x)
         x_arrow = np.zeros(self.n, dtype=np.float64)
         x_arrow[self.row_of[real]] = x_pad[real]
         x = np.empty(self.n)

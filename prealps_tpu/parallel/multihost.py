@@ -104,6 +104,51 @@ def make_global(mesh, pspec, host_array):
     )
 
 
+def globalize_operands(mesh, specs: dict, operands: dict) -> dict:
+    """Convert per-process host/local operand arrays into GLOBAL arrays
+    matching their PartitionSpecs — a no-op in single-process runs.
+
+    The distributed builders (parallel/lorasc_driver.py) construct operands
+    as host numpy / process-local device arrays; a jitted shard_map over a
+    multi-process mesh requires inputs whose sharding spans every process.
+    Values that are already global (outputs of earlier global computations,
+    e.g. the deflation lift) are passed through untouched. Every process
+    must hold the SAME host values (the builders are deterministic
+    straight-line SPMD code, the reference's every-rank-reads-the-operator
+    discipline — operator.c:38)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return operands
+
+    def _one(spec, v):
+        if isinstance(v, jax.Array) and not v.is_fully_addressable:
+            return v  # already spans the global mesh
+        return make_global(mesh, spec, np.asarray(v))
+
+    # specs values may be pytrees of PartitionSpecs mirroring operand
+    # pytrees (e.g. the banded-factor bundle) — map leaf-wise
+    return {
+        k: jax.tree_util.tree_map(_one, specs[k], v)
+        for k, v in operands.items()
+    }
+
+
+def replicate_to_host(mesh, x):
+    """Fetch a (possibly cross-process row-sharded) global array to host
+    numpy: replicate via one compiled all-gather, then read the local copy.
+    Single-process arrays take the plain np.asarray path."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        x = jax.jit(
+            lambda v: v,
+            out_shardings=NamedSharding(mesh, PartitionSpec()),
+        )(x)
+    return np.asarray(x)
+
+
 def process_count() -> int:
     import jax
 

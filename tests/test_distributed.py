@@ -784,7 +784,8 @@ class TestMultihost2Proc:
     (README.md:53). Closes VERDICT r3 missing #2: multihost.py glue had never
     run with >= 2 processes."""
 
-    def test_two_process_solve(self):
+    @staticmethod
+    def _launch_workers(mode, ok_token, timeout=300):
         import socket
         import subprocess
         import sys as _sys
@@ -803,7 +804,7 @@ class TestMultihost2Proc:
         env["PYTHONPATH"] = os.path.dirname(here)
         procs = [
             subprocess.Popen(
-                [_sys.executable, worker, coord, "2", str(pid)],
+                [_sys.executable, worker, coord, "2", str(pid), mode],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True, env=env, cwd=os.path.dirname(here),
             )
@@ -812,7 +813,7 @@ class TestMultihost2Proc:
         outs = []
         try:
             for p in procs:
-                out, err = p.communicate(timeout=300)
+                out, err = p.communicate(timeout=timeout)
                 outs.append((p.returncode, out, err))
         finally:
             for p in procs:
@@ -820,4 +821,15 @@ class TestMultihost2Proc:
                     p.kill()
         for rc, out, err in outs:
             assert rc == 0, (rc, out[-500:], err[-2000:])
-            assert "MULTIHOST_OK" in out, (out[-500:], err[-1000:])
+            assert ok_token in out, (out[-500:], err[-1000:])
+
+    def test_two_process_solve(self):
+        self._launch_workers("ecg", "MULTIHOST_OK")
+
+    def test_two_process_lorasc(self):
+        """The DRIVER-BUILT distributed LORASC (block-arrow + in-shard_map
+        Lanczos deflation + balancing-deflate correction) across 2 OS
+        processes: build-time operand globalization + the solve's
+        cross-process separator psums (the reference's test_lorasc under
+        mpirun — test_lorasc.c:168)."""
+        self._launch_workers("lorasc", "MULTIHOST_LORASC_OK", timeout=420)
