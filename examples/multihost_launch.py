@@ -22,6 +22,12 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# NOTE: tests/_multihost_worker.py (mode "lorasc") runs the same scenario as
+# the pytest-launched regression; this example keeps a self-contained copy
+# as the user-facing recipe — change them together.
+
 
 def worker(coord: str, nproc: int, pid: int, devices: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -98,8 +104,17 @@ def main() -> int:
         for p in range(args.nproc)
     ]
     rc = 0
-    for p in procs:
-        rc |= p.wait(timeout=600)
+    try:
+        for p in procs:
+            if p.wait(timeout=600) != 0:
+                rc = 1
+    finally:
+        # a dead worker leaves the survivors blocked in collectives — kill
+        # the whole set on any failure/timeout (mirrors the test launcher)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                rc = 1
     print("ALL_OK" if rc == 0 else f"FAILED rc={rc}", flush=True)
     return rc
 

@@ -656,8 +656,12 @@ class DistributedLorascECG:
                 )
             )
             v0 = jnp.asarray(sep_mask_np * 1e-2, dtype=dtype)
+            # assign the globalized dict back: globalize_operands passes
+            # through already-global values, so later _gz calls only touch
+            # keys added since (one upload per operand, not three)
+            operands = _gz(operands)
             theta, vecs, bnorm2, resid = lancz_fn(
-                _gz(operands), _gz1(sep_mask_np), _gz1(v0)
+                operands, _gz1(sep_mask_np), _gz1(v0)
             )
             if _multiproc:
                 # replicated global outputs -> host copies: the eager
@@ -729,8 +733,9 @@ class DistributedLorascECG:
                     check_vma=False,
                 )
             )
+            operands = _gz(operands)   # incremental: globalizes e_mat/sigma
             w_lift, aw_sep, lc = lift_fn(
-                _gz(operands), _gz1(sep_mask_np), _gz1(e_sel))
+                operands, _gz1(sep_mask_np), _gz1(e_sel))
             lc64 = np.asarray(lc, dtype=np.float64)
             lc64 = 0.5 * (lc64 + lc64.T)
             lam_c, u_c = np.linalg.eigh(lc64)

@@ -134,18 +134,28 @@ def globalize_operands(mesh, specs: dict, operands: dict) -> dict:
     }
 
 
+_REPLICATE_FNS: dict = {}
+
+
 def replicate_to_host(mesh, x):
     """Fetch a (possibly cross-process row-sharded) global array to host
     numpy: replicate via one compiled all-gather, then read the local copy.
-    Single-process arrays take the plain np.asarray path."""
+    Single-process arrays take the plain np.asarray path. The jitted
+    gather is cached per mesh — a fresh lambda per call would re-trace on
+    every solve round (refine loops call this up to 8x per solve)."""
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec
 
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        x = jax.jit(
-            lambda v: v,
-            out_shardings=NamedSharding(mesh, PartitionSpec()),
-        )(x)
+        fn = _REPLICATE_FNS.get(mesh)
+        if fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            fn = jax.jit(
+                lambda v: v,
+                out_shardings=NamedSharding(mesh, PartitionSpec()),
+            )
+            _REPLICATE_FNS[mesh] = fn
+        x = fn(x)
     return np.asarray(x)
 
 

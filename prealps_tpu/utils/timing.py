@@ -124,6 +124,15 @@ def scan_differential_ms(fn, z0, k_short: int = 40, k_long: int = 200,
     jax.block_until_ready(z)
     t_s, z = best(k_short, z)
     t_l, _ = best(k_long, z)
-    # floor at 1 ns: under heavy host contention the differential can come
-    # out <= 0, and callers divide by this (nnz/ms throughput)
-    return max((t_l - t_s) / (k_long - k_short) * 1e3, 1e-6)
+    ms = (t_l - t_s) / (k_long - k_short) * 1e3
+    if ms <= 0.0:
+        # non-positive differential = the measurement was invalidated by
+        # host contention; retry once, then report NaN rather than a
+        # fabricated finite number (callers divide by this — a floored
+        # value would record absurd throughputs as real datapoints)
+        t_s, z = best(k_short, z)
+        t_l, _ = best(k_long, z)
+        ms = (t_l - t_s) / (k_long - k_short) * 1e3
+        if ms <= 0.0:
+            return float("nan")
+    return ms
