@@ -37,6 +37,8 @@ def _run_lorasc(nproc):
     from prealps_tpu.parallel.lorasc_driver import DistributedLorascECG
     from prealps_tpu.solvers import ECGOptions
 
+    assert jax.process_count() == nproc, jax.process_count()
+
     # every process builds from the same deterministic host matrix (the
     # reference reads the same .mtx on every rank — operator.c:38); the
     # build's jitted shard_maps then run as ONE global program

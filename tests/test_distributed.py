@@ -409,6 +409,33 @@ class TestMultihostGlue:
         assert process_count() == 1
         assert is_coordinator()
 
+    def test_globalize_helpers_single_process(self):
+        """Single-process semantics of the multi-process plumbing the
+        distributed LORASC build relies on: globalize_operands is an exact
+        no-op (same objects, no uploads) and replicate_to_host is a plain
+        host fetch — so the single-chip/CPU-mesh paths are provably
+        untouched by the multi-process support."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from prealps_tpu.parallel.multihost import (
+            global_mesh,
+            globalize_operands,
+            replicate_to_host,
+        )
+
+        mesh = global_mesh()
+        ops = {"a": np.arange(8.0), "b": jnp.ones((4, 4))}
+        specs = {"a": P("shards"), "b": P()}
+        out = globalize_operands(mesh, specs, ops)
+        assert out is ops  # identical dict, not a copy
+        x = jnp.arange(16.0)
+        got = replicate_to_host(mesh, x)
+        np.testing.assert_array_equal(got, np.arange(16.0))
+        # host numpy passes straight through too
+        np.testing.assert_array_equal(
+            replicate_to_host(mesh, np.arange(3.0)), np.arange(3.0))
+
 
 class TestDiaDistributed:
     """Hybrid DIA+ELL over the mesh: diagonals via ring halo, stragglers
